@@ -1,0 +1,133 @@
+"""K-nearest-neighbor search as a fixed-shape TPU op.
+
+TPU-native replacement for the reference's per-cloud KDTree searches
+(tensorflow/ops/tf_custom_ops/tf_neighbors/tf_batch_neighbors.cpp — CPU
+nanoflann radius search) and the CUDA heap KNN
+(pytorch/lib/pointops/src/knnquery/knnquery_cuda_kernel.cu). Those are
+inherently dynamic-shape / scalar-loop designs; here the search is a blocked
+brute-force: per query tile, a `[T, N]` squared-distance matrix is formed via
+an MXU matmul (‖q‖² + ‖s‖² − 2·q·sᵀ) and reduced with `lax.top_k`. Distances
+returned are **squared** (the CUDA kernel's `dist2` convention) and ascending.
+
+Radius semantics (the TF stack's `BatchOrderedNeighbors`) are recovered by
+shadow-masking results beyond the radius: idx → N.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def pairwise_sqdist(query: jax.Array, support: jax.Array) -> jax.Array:
+    """Squared euclidean distances. query [M, 3], support [N, 3] → [M, N]."""
+    qf = query.astype(jnp.float32)
+    sf = support.astype(jnp.float32)
+    qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    sn = jnp.sum(sf * sf, axis=-1)
+    # HIGHEST precision: the default (bf16-pass) matmul loses ~1e-2 absolute
+    # error, enough to reorder neighbors; with D=3 the matmul cost is
+    # negligible either way (top_k dominates).
+    qs = jnp.dot(
+        qf,
+        sf.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = qn + sn[None, :] - 2.0 * qs
+    return jnp.maximum(d2, 0.0)
+
+
+def _knn_single(
+    query: jax.Array,
+    support: jax.Array,
+    k: int,
+    exclude_self: bool,
+    support_mask: jax.Array | None,
+    chunk: int,
+):
+    """KNN for one cloud. query [M, 3], support [N, 3] → idx [M, k], d2 [M, k]."""
+    m, n = query.shape[0], support.shape[0]
+    # degenerate tiny clouds: pad the tail with shadows
+    k_eff = min(k, n - 1 if exclude_self else n)
+    chunk = min(chunk, m)
+    num_chunks = -(-m // chunk)
+    m_pad = num_chunks * chunk
+    qp = jnp.pad(query, ((0, m_pad - m), (0, 0)))
+    qp = qp.reshape(num_chunks, chunk, 3)
+    base = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+
+    inf = jnp.float32(jnp.inf)
+
+    def one_chunk(args):
+        qc, b = args
+        d2 = pairwise_sqdist(qc, support)  # [chunk, N]
+        if support_mask is not None:
+            d2 = jnp.where(support_mask[None, :], d2, inf)
+        if exclude_self:
+            qidx = b + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
+            d2 = jnp.where(sidx == qidx, inf, d2)
+        neg, idx = lax.top_k(-d2, k_eff)
+        return idx.astype(jnp.int32), -neg
+
+    idx, d2 = lax.map(one_chunk, (qp, base))
+    idx = idx.reshape(m_pad, k_eff)[:m]
+    d2 = d2.reshape(m_pad, k_eff)[:m]
+    if k_eff < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)), constant_values=n)
+        d2 = jnp.pad(d2, ((0, 0), (0, k - k_eff)), constant_values=jnp.inf)
+    # any slot whose distance is +inf (masked support / excluded self) is
+    # reported as the shadow index
+    idx = jnp.where(jnp.isinf(d2), n, idx)
+    return idx, d2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "radius", "chunk")
+)
+def knn(
+    query: jax.Array,
+    support: jax.Array,
+    k: int,
+    *,
+    support_mask: jax.Array | None = None,
+    exclude_self: bool = False,
+    radius: float | None = None,
+    chunk: int = 2048,
+):
+    """Batched KNN.
+
+    Args:
+      query:        [B, M, 3] query points.
+      support:      [B, N, 3] support points.
+      k:            number of neighbors (static).
+      support_mask: optional [B, N] bool; False rows are never returned
+                    (their distance is +inf → shadow index if radius given,
+                    else they only appear when fewer than k valid points).
+      exclude_self: mask the aligned diagonal (requires query is support —
+                    query i and support i are the same point). Mirrors the
+                    reference's drop-first-column self-loop removal
+                    (pytorch/model/heads.py:195-196) robustly under
+                    duplicate (padded) points.
+      radius:       optional; results with d2 > radius² get shadow index N
+                    (reference TF radius search semantics,
+                    tf_batch_neighbors.cpp).
+      chunk:        query tile size for the blocked distance matrix.
+
+    Returns:
+      (idx [B, M, k] int32 in [0, N], d2 [B, M, k] float32 squared distances,
+       ascending).
+    """
+    f = lambda q, s, sm: _knn_single(q, s, k, exclude_self, sm, chunk)
+    if support_mask is None:
+        idx, d2 = jax.vmap(lambda q, s: f(q, s, None))(query, support)
+    else:
+        idx, d2 = jax.vmap(f)(query, support, support_mask)
+    if radius is not None:
+        n = support.shape[1]
+        invalid = d2 > jnp.float32(radius) ** 2
+        idx = jnp.where(invalid, n, idx)
+    return idx, d2

@@ -1,0 +1,176 @@
+"""On-device multi-resolution pyramid builder.
+
+The reference builds its pyramid either on CPU inside the tf.data pipeline
+(tensorflow/datasets/base.py:767-842, C++ radius/grid ops) or lazily inside
+the forward pass per block (pytorch/model/blocks.py:69-71 FPS+KNN per
+TransitionDown, and a fresh `knnquery` inside *every* PointTransformerLayer,
+blocks.py:34-35). Here the full pyramid — sample indices, per-level self-KNN,
+down-KNN, IDW up-interpolation indices/weights, nearest-to-level-0 indices,
+contrast-KNN and sub-scene label KNN — is computed **once per batch** in a
+single jitted function and shared by every block of a level. That removes the
+reference's repeated KNNs (e.g. 18 redundant searches across the 18
+transformer blocks) and keeps the model itself purely gather+matmul.
+
+All shapes are static: N_l = N // prod(strides[:l+1]).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.gather import batch_gather
+from .interpolate import interpolation_weights
+from .knn import knn
+from .sampling import bucket_fps, fps, serialized_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidSpec:
+    """Static description of the pyramid (hashable → usable as a jit static arg).
+
+    Defaults reproduce the flagship point-transformer + CBL configuration:
+    strides [1,4,4,4,4] and backbone nsample [8,16,16,16,16]
+    (pytorch/model/pointtransformer_seg.py:44), contrast nsample
+    [36,24,24,24,24] (pytorch/config/s3dis/origin_*-w.1.yaml).
+    """
+
+    strides: Tuple[int, ...] = (1, 4, 4, 4, 4)
+    k_self: Tuple[int, ...] = (8, 16, 16, 16, 16)
+    k_down: Tuple[int, ...] = (8, 16, 16, 16, 16)
+    k_up: int = 3
+    k_contrast: Optional[Tuple[int, ...]] = None
+    with_subscene: bool = False
+    sampler: str = "bucket_fps"  # fps | bucket_fps | serialized
+    num_buckets: int = 64
+    knn_chunk: int = 2048
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.strides)
+
+    def level_sizes(self, n: int) -> Tuple[int, ...]:
+        sizes = []
+        for s in self.strides:
+            n = n // s
+            sizes.append(n)
+        return tuple(sizes)
+
+    def subscene_k(self, level: int) -> int:
+        """kr for sub-scene label inference = prod(strides up to level)
+        (pytorch/model/basic_operators.py:20-22)."""
+        k = 1
+        for s in self.strides[1 : level + 1]:
+            k *= s
+        return k
+
+
+@struct.dataclass
+class Pyramid:
+    """Per-level index arrays (tuples over levels; None-slots where N/A).
+
+    points:       [B, N_l, 3] level coordinates.
+    sample_idx:   [B, N_l] indices into level l-1 (level 0: identity).
+    self_idx:     [B, N_l, k_self_l] self-KNN including self.
+    down_idx:     [B, N_l, k_down_l] KNN of level-(l-1) supports for level-l
+                  queries (None at level 0).
+    up_idx/up_w:  [B, N_{l-1}, k_up] IDW interpolation of level l onto level
+                  l-1 (None at level 0).
+    near0_idx:    [B, N_0] nearest level-l point per level-0 point.
+    contrast_idx: [B, N_l, k_contrast_l - 1] self-KNN excluding self.
+    subscene_idx: [B, N_l, kr_l] KNN of level-0 supports for level-l queries.
+    """
+
+    points: Tuple
+    sample_idx: Tuple
+    self_idx: Tuple
+    down_idx: Tuple
+    up_idx: Tuple
+    up_w: Tuple
+    near0_idx: Tuple
+    contrast_idx: Tuple
+    subscene_idx: Tuple
+
+
+def _sample(points: jax.Array, m: int, spec: PyramidSpec) -> jax.Array:
+    if spec.sampler == "fps":
+        return fps(points, m)
+    if spec.sampler == "bucket_fps":
+        g = spec.num_buckets
+        n = points.shape[1]
+        while g > 1 and (n % g or m % g):
+            g //= 2
+        if g <= 1:
+            return fps(points, m)
+        return bucket_fps(points, m, g)
+    if spec.sampler == "serialized":
+        return serialized_sample(points, m)
+    raise ValueError(f"unknown sampler {spec.sampler!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
+    """Build the full index pyramid from level-0 points [B, N, 3]."""
+    b, n, _ = points.shape
+    chunk = spec.knn_chunk
+
+    pts = [points]
+    sample_idx = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))]
+    self_idx = [knn(points, points, spec.k_self[0], chunk=chunk)[0]]
+    down_idx = [None]
+    up_idx = [None]
+    up_w = [None]
+    near0_idx = [sample_idx[0]]
+    contrast_idx = []
+    subscene_idx = []
+
+    for l in range(1, spec.num_levels):
+        prev = pts[l - 1]
+        m = prev.shape[1] // spec.strides[l]
+        idx = _sample(prev, m, spec)
+        cur = batch_gather(prev, idx)
+        pts.append(cur)
+        sample_idx.append(idx)
+        d_idx, _ = knn(cur, prev, spec.k_down[l], chunk=chunk)
+        down_idx.append(d_idx)
+        s_idx, _ = knn(cur, cur, spec.k_self[l], chunk=chunk)
+        self_idx.append(s_idx)
+        u_idx, u_d2 = knn(prev, cur, spec.k_up, chunk=chunk)
+        up_idx.append(u_idx)
+        up_w.append(interpolation_weights(u_d2))
+        n0_idx, _ = knn(points, cur, 1, chunk=chunk)
+        near0_idx.append(n0_idx[..., 0])
+
+    if spec.k_contrast is not None:
+        for l in range(spec.num_levels):
+            c_idx, _ = knn(
+                pts[l], pts[l], spec.k_contrast[l] - 1, exclude_self=True, chunk=chunk
+            )
+            contrast_idx.append(c_idx)
+    else:
+        contrast_idx = [None] * spec.num_levels
+
+    if spec.with_subscene:
+        subscene_idx.append(None)  # level 0 uses labels directly
+        for l in range(1, spec.num_levels):
+            kr = spec.subscene_k(l)
+            ss_idx, _ = knn(pts[l], points, kr, chunk=chunk)
+            subscene_idx.append(ss_idx)
+    else:
+        subscene_idx = [None] * spec.num_levels
+
+    return Pyramid(
+        points=tuple(pts),
+        sample_idx=tuple(sample_idx),
+        self_idx=tuple(self_idx),
+        down_idx=tuple(down_idx),
+        up_idx=tuple(up_idx),
+        up_w=tuple(up_w),
+        near0_idx=tuple(near0_idx),
+        contrast_idx=tuple(contrast_idx),
+        subscene_idx=tuple(subscene_idx),
+    )
