@@ -1,0 +1,204 @@
+"""Contrastive Boundary Learning (CBL) — the core loss, fixed-shape.
+
+Reproduces pytorch/model/heads.py:63-253 `ContrastHead` and
+tensorflow/models/heads/head.py:462-807 `contrast_head` without any dynamic
+row compaction: the reference's `boolean_mask` point selection
+(head.py:705-715 / heads.py:235-237) becomes a multiplicative `point_mask`
+with a masked mean — numerically identical, XLA-friendly.
+
+Pipeline per decoder stage i (SURVEY.md §2.4):
+  1. soft sub-scene labels: mean one-hot of the kr = ∏stride nearest level-0
+     points (pytorch/model/basic_operators.py:9-50);
+  2. pos/neg masks over k−1 self-neighbors (self excluded), `cnt` argmax
+     equality or `kl` divergence threshold;
+  3. point mask: ≥1 valid positive AND ≥1 valid negative;
+  4. distance: l2 (eps-guarded sqrt), norml2, l2square, or kl;
+  5. softnn  −log(Σ_pos e^{−d/T} / Σ_all e^{−d/T})  or per-positive nce,
+     with max-subtraction stabilization; mean over masked points × weight.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.gather import batch_gather
+from ..core.masking import EPS, INF, masked_mean
+
+_LOG_EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class ContrastConfig:
+    """Static CBL configuration (the reference's op-string segment
+    `contrast-Ua-softnn-latent-label-l2-w.1`)."""
+
+    contrast: str = "softnn"  # softnn | nce
+    dist: str = "l2"  # l2 | l2square | norml2 | kl
+    pos: str = "cnt"  # cnt | kl
+    temperature: Optional[float] = 1.0
+    weight: float = 0.1
+    kl_threshold: float = 0.5  # posmask kl variant (config `labelkl.5`)
+    stages: Tuple[int, ...] = (0, 1, 2, 3, 4)  # 'Ua' = all up stages
+
+
+def subscene_labels(
+    labels0: jax.Array,
+    subscene_idx: Optional[jax.Array],
+    num_classes: int,
+    ignore_label: int = -1,
+) -> jax.Array:
+    """Soft (mean one-hot) labels of downsampled points.
+
+    labels0 [B, N0] int; subscene_idx [B, M, kr] indices into level 0 (None →
+    level 0 itself: plain one-hot). Ignored labels contribute a zero row.
+    """
+    valid = labels0 != ignore_label
+    safe = jnp.where(valid, labels0, 0)
+    onehot = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+    onehot = onehot * valid[..., None]
+    if subscene_idx is None:
+        return onehot
+    nb = batch_gather(onehot, subscene_idx)  # [B, M, kr, ncls]
+    return jnp.mean(nb, axis=-2)
+
+
+def _posmask_cnt(label_soft, nb_label_soft):
+    """Argmax-equality positives (pytorch/model/heads.py:145-149)."""
+    center = jnp.argmax(label_soft, axis=-1)[..., None]
+    nb = jnp.argmax(nb_label_soft, axis=-1)
+    return center == nb
+
+
+def _posmask_kl(label_soft, nb_label_soft, threshold):
+    """KL(label ‖ neighbor) < threshold positives — the `kl` CBL variant
+    (tensorflow/models/heads/head.py:492-519, config head `labelkl.5`)."""
+    l = jnp.maximum(label_soft[..., None, :], _LOG_EPS)
+    nl = jnp.maximum(nb_label_soft, _LOG_EPS)
+    kl = jnp.sum(label_soft[..., None, :] * (jnp.log(l) - jnp.log(nl)), axis=-1)
+    return kl < threshold
+
+
+def _dist(cfg: ContrastConfig, f, nb_f):
+    """Distance [B, M, K] between each point and its neighbors.
+    l2 matches pytorch/model/heads.py:116-119 (eps inside sqrt)."""
+    if cfg.dist in ("l2", "norml2", "l2square"):
+        if cfg.dist == "norml2":
+            f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), EPS)
+            nb_f = nb_f / jnp.maximum(
+                jnp.linalg.norm(nb_f, axis=-1, keepdims=True), EPS
+            )
+        d2 = jnp.sum((f[..., None, :] - nb_f) ** 2, axis=-1)
+        if cfg.dist == "l2square":
+            return d2
+        return jnp.sqrt(d2 + _LOG_EPS)
+    if cfg.dist == "kl":
+        # KL(center-dist ‖ neighbor-dist), both log-softmax'd
+        lp = jax.nn.log_softmax(f, axis=-1)[..., None, :]
+        lq = jax.nn.log_softmax(nb_f, axis=-1)
+        return jnp.sum(jnp.exp(lp) * (lp - lq), axis=-1)
+    raise ValueError(f"unknown dist {cfg.dist!r}")
+
+
+def _contrast_softnn(cfg, dist, posmask, valid):
+    """−log(Σ_pos e^{−d/T} / Σ_all e^{−d/T}) per point
+    (pytorch/model/heads.py:151-165)."""
+    d = -dist
+    d = d - jax.lax.stop_gradient(
+        jnp.max(jnp.where(valid, d, -INF), axis=-1, keepdims=True)
+    )
+    if cfg.temperature is not None:
+        d = d / cfg.temperature
+    e = jnp.exp(d) * valid
+    pos = jnp.sum(e * posmask, axis=-1)
+    neg = jnp.sum(e, axis=-1)
+    return -jnp.log(pos / jnp.maximum(neg, EPS) + EPS)
+
+
+def _contrast_nce(cfg, dist, posmask, valid):
+    """Per-positive InfoNCE, averaged over the positives of each point
+    (pytorch/model/heads.py:167-183; the reference flattens all positives —
+    here the per-point mean over positives keeps shapes static, then the
+    masked point-mean matches the flat mean up to per-point positive counts).
+    """
+    d = -dist
+    d = d - jax.lax.stop_gradient(
+        jnp.max(jnp.where(valid, d, -INF), axis=-1, keepdims=True)
+    )
+    if cfg.temperature is not None:
+        d = d / cfg.temperature
+    e = jnp.exp(d) * valid
+    neg = jnp.sum(e * (1.0 - posmask), axis=-1, keepdims=True)
+    ratio = e / jnp.maximum(e + neg, EPS)
+    per_pos = -jnp.log(jnp.maximum(ratio, EPS))
+    pmask = posmask * valid
+    return masked_mean(per_pos, pmask, axis=-1)
+
+
+def cbl_stage_loss(
+    features: jax.Array,
+    contrast_idx: jax.Array,
+    label_soft: jax.Array,
+    cfg: ContrastConfig,
+) -> jax.Array:
+    """CBL loss for one stage.
+
+    features:     [B, M, C] stage features (latent).
+    contrast_idx: [B, M, K] self-KNN excluding self; shadow index M = invalid.
+    label_soft:   [B, M, ncls] sub-scene soft labels.
+
+    Returns the scalar stage loss (already × cfg.weight).
+    """
+    m = features.shape[1]
+    valid = (contrast_idx < m)
+    safe_idx = jnp.where(valid, contrast_idx, 0)
+
+    nb_label = batch_gather(label_soft, safe_idx)  # [B, M, K, ncls]
+    if cfg.dist == "norml2":
+        features = features / jnp.maximum(
+            jnp.linalg.norm(features, axis=-1, keepdims=True), EPS
+        )
+    nb_feat = batch_gather(features, safe_idx)  # [B, M, K, C]
+
+    posmask = _posmask_cnt(label_soft, nb_label)
+    validf = valid.astype(jnp.float32)
+    pos_cnt = jnp.sum(posmask * validf, axis=-1)
+    valid_cnt = jnp.sum(validf, axis=-1)
+    point_mask = (pos_cnt > 0) & (pos_cnt < valid_cnt)
+
+    if cfg.pos == "kl":
+        posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
+    posmask = posmask.astype(jnp.float32) * validf
+
+    dist = _dist(cfg, features, nb_feat)
+    if cfg.contrast == "softnn":
+        loss = _contrast_softnn(cfg, dist, posmask, validf)
+    elif cfg.contrast == "nce":
+        loss = _contrast_nce(cfg, dist, posmask, validf)
+    else:
+        raise ValueError(f"unknown contrast {cfg.contrast!r}")
+
+    return masked_mean(loss, point_mask) * cfg.weight
+
+
+def cbl_loss(
+    latents: Tuple,
+    pyramid,
+    labels0: jax.Array,
+    num_classes: int,
+    cfg: ContrastConfig,
+    ignore_label: int = -1,
+):
+    """Full CBL: Σ over configured stages. Returns (total, per-stage dict)."""
+    losses = {}
+    total = 0.0
+    for i in cfg.stages:
+        label_soft = subscene_labels(
+            labels0, pyramid.subscene_idx[i], num_classes, ignore_label
+        )
+        li = cbl_stage_loss(latents[i], pyramid.contrast_idx[i], label_soft, cfg)
+        losses[f"cbl_stage{i}"] = li
+        total = total + li
+    return total, losses

@@ -11,8 +11,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# persistent compile cache: the tiny test models cost minutes to compile on
+# CPU the first time; cached re-runs are seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture

@@ -1,0 +1,143 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from contrastboundary_tpu.losses import (
+    ContrastConfig,
+    subscene_labels,
+    cbl_stage_loss,
+    cross_entropy,
+)
+from contrastboundary_tpu.ops import knn
+
+from reference_impl import subscene_label_np, cbl_softnn_np, knn_np
+
+
+def test_subscene_labels_match_numpy(rng):
+    p0 = rng.rand(1, 64, 3).astype(np.float32)
+    p1 = p0[:, ::4]
+    labels = rng.randint(0, 5, (1, 64)).astype(np.int32)
+    idx, _ = knn(jnp.asarray(p1), jnp.asarray(p0), 4)
+    soft = np.asarray(
+        subscene_labels(jnp.asarray(labels), idx, num_classes=5)
+    )
+    ref = subscene_label_np(p0[0], p1[0], labels[0], 4, 5)
+    np.testing.assert_allclose(soft[0], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_subscene_level0_is_onehot(rng):
+    labels = rng.randint(0, 5, (2, 16)).astype(np.int32)
+    soft = np.asarray(subscene_labels(jnp.asarray(labels), None, num_classes=5))
+    assert (soft.sum(-1) == 1).all()
+    assert (soft.argmax(-1) == labels).all()
+
+
+def test_subscene_ignore_label():
+    labels = jnp.asarray([[0, -1, 2]])
+    soft = np.asarray(subscene_labels(labels, None, num_classes=3, ignore_label=-1))
+    assert (soft[0, 1] == 0).all()
+    assert soft[0, 0, 0] == 1 and soft[0, 2, 2] == 1
+
+
+def test_cbl_softnn_matches_numpy(rng):
+    """Golden test of the full stage loss vs. the numpy re-derivation of
+    pytorch/model/heads.py point_contrast (l2 + cnt + softnn)."""
+    m, c, ncls, k = 48, 8, 4, 7
+    feats = rng.randn(1, m, c).astype(np.float32)
+    # spatially-clustered labels so pos/neg coexist
+    pts = rng.rand(1, m, 3).astype(np.float32)
+    labels = (pts[0, :, 0] * 2).astype(np.int64) % ncls
+    label_soft = np.eye(ncls, dtype=np.float32)[labels][None]
+
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), k, exclude_self=True)
+    cfg = ContrastConfig(contrast="softnn", dist="l2", pos="cnt", temperature=1.0, weight=0.1)
+    loss = float(
+        cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
+    )
+    ref = cbl_softnn_np(feats[0], np.asarray(idx)[0], label_soft[0], temperature=1.0)
+    np.testing.assert_allclose(loss, 0.1 * ref, rtol=1e-4)
+
+
+def test_cbl_no_boundary_returns_zero(rng):
+    """All same label → no point has a negative → loss 0 (reference returns
+    tensor(0.) — pytorch/model/heads.py:222-233)."""
+    feats = rng.randn(1, 32, 8).astype(np.float32)
+    pts = rng.rand(1, 32, 3).astype(np.float32)
+    label_soft = np.zeros((1, 32, 4), np.float32)
+    label_soft[..., 2] = 1
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), 5, exclude_self=True)
+    cfg = ContrastConfig()
+    loss = float(cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg))
+    assert loss == 0.0
+
+
+def test_cbl_gradient_direction(rng):
+    """CBL must pull same-label features together: a gradient step should
+    reduce the loss."""
+    m, c = 40, 6
+    pts = rng.rand(1, m, 3).astype(np.float32)
+    labels = (pts[0, :, 0] > 0.5).astype(np.int64)
+    label_soft = jnp.asarray(np.eye(3, dtype=np.float32)[labels][None])
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), 9, exclude_self=True)
+    cfg = ContrastConfig(weight=1.0)
+    feats = jnp.asarray(rng.randn(1, m, c).astype(np.float32))
+
+    def f(x):
+        return cbl_stage_loss(x, idx, label_soft, cfg)
+
+    l0 = float(f(feats))
+    g = jax.grad(f)(feats)
+    l1 = float(f(feats - 0.5 * g))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0
+
+
+def test_cbl_variants_finite(rng):
+    pts = rng.rand(1, 32, 3).astype(np.float32)
+    labels = (pts[0, :, 0] > 0.5).astype(np.int64)
+    label_soft = jnp.asarray(np.eye(3, dtype=np.float32)[labels][None])
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), 7, exclude_self=True)
+    feats = jnp.asarray(rng.randn(1, 32, 6).astype(np.float32))
+    for contrast in ["softnn", "nce"]:
+        for dist in ["l2", "l2square", "norml2", "kl"]:
+            for pos in ["cnt", "kl"]:
+                cfg = ContrastConfig(contrast=contrast, dist=dist, pos=pos)
+                val = float(cbl_stage_loss(feats, idx, label_soft, cfg))
+                assert np.isfinite(val), (contrast, dist, pos)
+                g = jax.grad(
+                    lambda x: cbl_stage_loss(x, idx, label_soft, cfg)
+                )(feats)
+                assert np.isfinite(np.asarray(g)).all(), (contrast, dist, pos)
+
+
+def test_cbl_shadow_neighbors_excluded(rng):
+    """Invalid (shadow) neighbor slots must not contribute to pos or neg."""
+    m, c = 16, 4
+    feats = jnp.asarray(rng.randn(1, m, c).astype(np.float32))
+    labels = rng.randint(0, 2, m)
+    label_soft = jnp.asarray(np.eye(3, dtype=np.float32)[labels][None])
+    idx_np = rng.randint(0, m, (1, m, 6))
+    idx_full = jnp.asarray(idx_np)
+    # same neighbors + 2 shadow columns: loss must equal the 6-col version
+    idx_shadow = jnp.concatenate(
+        [idx_full, jnp.full((1, m, 2), m, jnp.int32)], axis=-1
+    )
+    cfg = ContrastConfig()
+    l_full = float(cbl_stage_loss(feats, idx_full, label_soft, cfg))
+    l_shadow = float(cbl_stage_loss(feats, idx_shadow, label_soft, cfg))
+    np.testing.assert_allclose(l_full, l_shadow, rtol=1e-5)
+
+
+def test_cross_entropy_ignore(rng):
+    logits = jnp.asarray(rng.randn(2, 8, 4).astype(np.float32))
+    labels = rng.randint(0, 4, (2, 8)).astype(np.int32)
+    labels[0, :4] = -1
+    ce = float(cross_entropy(logits, jnp.asarray(labels), ignore_label=-1))
+    # manual
+    lp = np.asarray(jax.nn.log_softmax(logits))
+    vals = []
+    for b in range(2):
+        for i in range(8):
+            if labels[b, i] >= 0:
+                vals.append(-lp[b, i, labels[b, i]])
+    np.testing.assert_allclose(ce, np.mean(vals), rtol=1e-5)

@@ -1,0 +1,76 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+from contrastboundary_tpu.models import PointTransformerSeg
+
+
+SPEC = PyramidSpec(
+    strides=(1, 4, 4),
+    k_self=(8, 8, 8),
+    k_down=(8, 8, 8),
+    k_contrast=(8, 8, 8),
+    with_subscene=True,
+    sampler="fps",
+)
+
+
+def tiny_model():
+    return PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8,
+    )
+
+
+def make_inputs(rng, b=2, n=64):
+    pts = rng.rand(b, n, 3).astype(np.float32)
+    feats = rng.rand(b, n, 3).astype(np.float32)
+    labels = rng.randint(0, 5, (b, n)).astype(np.int32)
+    pyr = build_pyramid(jnp.asarray(pts), SPEC)
+    return jnp.asarray(feats), jnp.asarray(labels), pyr
+
+
+def test_forward_shapes_and_finite(rng):
+    feats, labels, pyr = make_inputs(rng)
+    model = tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=False)
+    out = model.apply(variables, feats, pyr, train=False)
+    assert out.logits.shape == (2, 64, 5)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    assert [f.shape[1] for f in out.up_feats] == [64, 16, 4]
+    assert [f.shape[-1] for f in out.up_feats] == [8, 16, 32]
+    assert [l.shape[-1] for l in out.latents] == [8, 8, 8]
+
+
+def test_train_mode_updates_batch_stats(rng):
+    feats, labels, pyr = make_inputs(rng)
+    model = tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=True)
+    out, mutated = model.apply(
+        variables, feats, pyr, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in mutated
+    # running stats must have moved off init
+    leaf = jax.tree_util.tree_leaves(mutated["batch_stats"])[0]
+    assert np.abs(np.asarray(leaf)).sum() > 0
+
+
+def test_gradients_flow(rng):
+    feats, labels, pyr = make_inputs(rng)
+    model = tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=True)
+    params = variables["params"]
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            feats, pyr, train=True, mutable=["batch_stats"],
+        )
+        onehot = jax.nn.one_hot(labels, 5)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(out.logits) * onehot, -1))
+
+    g = jax.grad(loss_fn)(params)
+    norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms))
+    assert sum(n > 0 for n in norms) > len(norms) * 0.9  # nearly all params used
