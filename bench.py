@@ -1,0 +1,87 @@
+"""Benchmark: flagship point-transformer + CBL **training** throughput on one
+chip, points/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6). The
+comparison point is the reference's own training regime — point-transformer +
+CBL, global batch 16 × ≤80k points, 4× GPU DDP (pytorch/config/s3dis/
+origin_*-w.1.yaml). Published point-transformer training on that class of GPU
+sustains roughly 1.1 s/step at that batch ⇒ ~2.9e5 points/sec/GPU; we use
+3e5 points/sec/chip as the denominator for `vs_baseline` (documented
+estimate, not a measured number; target from BASELINE.json is ≥10×).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_POINTS_PER_SEC_PER_CHIP = 3.0e5  # documented estimate, see docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from contrastboundary_tpu.losses.contrast import ContrastConfig
+    from contrastboundary_tpu.models import PointTransformerSeg
+    from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+    from contrastboundary_tpu.train import (
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from contrastboundary_tpu.train.state import make_optimizer
+
+    b, n = 4, 16384  # 65,536 points per step per chip
+    spec = PyramidSpec(k_contrast=(36, 24, 24, 24, 24), with_subscene=True)
+    model = PointTransformerSeg(num_classes=13)
+    cfg = TrainStepConfig(
+        num_classes=13, spec=spec, contrast=ContrastConfig()
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "points": jnp.asarray(rng.rand(b, n, 3).astype(np.float32) * 4.0),
+        "features": jnp.asarray(rng.rand(b, n, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 13, (b, n)).astype(np.int32)),
+    }
+
+    pyr = build_pyramid(batch["points"], spec)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["features"], pyr, train=True
+    )
+    tx = make_optimizer(0.05, momentum=0.9, weight_decay=1e-4)
+    state = create_train_state(variables, tx)
+    train_step = make_train_step(model, cfg)
+
+    # warmup: compile + the one-time transfer sync
+    state, metrics = train_step(state, batch)
+    _ = float(metrics["loss"])
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = (time.time() - t0) / iters
+
+    pts_per_sec = b * n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_points_per_sec_per_chip",
+                "value": round(pts_per_sec, 1),
+                "unit": f"points/sec/chip (B={b} N={n} fwd+bwd+CBL+pyramid, v5e-1)",
+                "vs_baseline": round(
+                    pts_per_sec / REFERENCE_POINTS_PER_SEC_PER_CHIP, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

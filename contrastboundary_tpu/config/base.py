@@ -1,0 +1,180 @@
+"""Dataclass config tree + registry + CLI/yaml overrides.
+
+Replaces the reference's three config mechanisms (class hierarchy with
+''-defaults, `gen_config` cartesian expansion, `--set k:v` CLI overrides —
+tensorflow/config/base.py, config/utils.py:21-146; pytorch/util/config.py
+CfgNode + yaml) with one typed tree. The op-string head DSL is preserved via
+config/dsl.py; named presets live in a registry keyed like the reference's
+`config.s3dis.xxx` paths.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+from ..losses.contrast import ContrastConfig
+from ..ops.pyramid import PyramidSpec
+from .dsl import parse_arch_out
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | s3dis
+    data_root: str = ""
+    test_area: int = 5
+    num_classes: int = 13
+    fea_dim: int = 3  # rgb
+    voxel_size: float = 0.04
+    voxel_max: int = 24000
+    n_points: int = 16384  # static crop size (device shape)
+    loop: int = 30
+    ignore_label: int = -1
+    # synthetic-only
+    num_rooms: int = 16
+    points_per_room: int = 120_000
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    arch: str = "pointtransformer"
+    planes: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    blocks: Tuple[int, ...] = (2, 3, 4, 6, 3)
+    share_planes: int = 8
+    base_fdim: int = 32
+    strides: Tuple[int, ...] = (1, 4, 4, 4, 4)
+    nsample: Tuple[int, ...] = (8, 16, 16, 16, 16)  # backbone knn
+    contrast_nsample: Tuple[int, ...] = (36, 24, 24, 24, 24)
+    sampler: str = "bucket_fps"
+    dtype: str = "float32"  # float32 | bfloat16
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    optimizer: str = "sgd"
+    base_lr: float = 0.5
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    grad_clip_norm: Optional[float] = None
+    schedule: str = "multistep"  # multistep | exponential
+    milestones: Tuple[float, ...] = (0.6, 0.8)  # fraction of epochs
+    multiplier: float = 0.1
+    decay_rate: float = 0.9885531  # exponential (ConvNet recipe)
+    epochs: int = 200
+    batch_size: int = 4
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    batch_size: int = 4
+    num_votes: float = 2.0
+    smooth: float = 0.95
+    eval_freq: int = 1
+
+
+@dataclasses.dataclass
+class Config:
+    name: str = "default"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    # head spec in the reference DSL; '' disables a head
+    arch_out: str = "multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1"
+    seed: int = 7777
+    save_path: str = "results"
+    log_freq: int = 10
+    save_freq: int = 1
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.model.strides)
+
+    @property
+    def heads(self) -> dict:
+        return parse_arch_out(self.arch_out, self.num_layers) if self.arch_out else {}
+
+    @property
+    def contrast(self) -> Optional[ContrastConfig]:
+        return self.heads.get("contrast")
+
+    @property
+    def use_multihead(self) -> bool:
+        return "multi" in self.heads
+
+    def pyramid_spec(self) -> PyramidSpec:
+        m = self.model
+        return PyramidSpec(
+            strides=tuple(m.strides),
+            k_self=tuple(m.nsample),
+            k_down=tuple(m.nsample),
+            k_contrast=tuple(m.contrast_nsample) if self.contrast else None,
+            with_subscene=self.contrast is not None,
+            sampler=m.sampler,
+        )
+
+    def build_model(self):
+        from ..models import PointTransformerSeg
+
+        if self.model.arch == "pointtransformer":
+            import jax.numpy as jnp
+
+            return PointTransformerSeg(
+                num_classes=self.data.num_classes,
+                planes=tuple(self.model.planes),
+                blocks=tuple(self.model.blocks),
+                share_planes=self.model.share_planes,
+                base_fdim=self.model.base_fdim,
+                use_multihead=self.use_multihead,
+                dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+                    self.model.dtype
+                ],
+            )
+        raise ValueError(f"unknown arch {self.model.arch!r}")
+
+
+def _update_dataclass(obj, updates: Dict[str, Any]):
+    for k, v in updates.items():
+        if "." in k:
+            head, rest = k.split(".", 1)
+            _update_dataclass(getattr(obj, head), {rest: v})
+        else:
+            if not hasattr(obj, k):
+                raise KeyError(f"unknown config key {k!r} on {type(obj).__name__}")
+            cur = getattr(obj, k)
+            if isinstance(cur, (DataConfig, ModelConfig, OptimConfig, EvalConfig)):
+                _update_dataclass(cur, v)
+            else:
+                if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+                    v = tuple(v)
+                setattr(obj, k, v)
+
+
+CONFIGS: Dict[str, Dict[str, Any]] = {}
+
+
+def register_config(name: str, **overrides):
+    CONFIGS[name] = overrides
+
+
+def load_config(name: str = "default", sets: Optional[str] = None) -> Config:
+    """Named preset + `--set a.b:v;c:v` overrides (reference main.py:42-44)."""
+    from . import s3dis as _s3dis  # noqa: F401  (registers presets)
+
+    cfg = Config(name=name)
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; known: {sorted(CONFIGS)}")
+    _update_dataclass(cfg, CONFIGS[name])
+    if sets:
+        upd = {}
+        for kv in sets.split(";"):
+            if not kv:
+                continue
+            k, v = kv.split(":", 1)
+            try:
+                v = json.loads(v)
+            except json.JSONDecodeError:
+                pass
+            upd[k.strip()] = v
+        _update_dataclass(cfg, upd)
+    return cfg

@@ -1,0 +1,124 @@
+"""The reference's op-string architecture DSL, kept as the public API.
+
+Users of the reference type strings like
+  'pospool|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1'
+to select backbone + heads (tensorflow/config/head.py:56-169 parses the
+segments; config/utils.py:312-329 parses stage specs like 'Ua', 'D012_U34').
+This module re-implements the same grammar on top of the dataclass config
+tree — the names are preserved exactly so reference configs translate 1:1.
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from ..losses.contrast import ContrastConfig
+
+
+def parse_stage(spec: str, num_layers: int) -> List[Tuple[str, int]]:
+    """'Ua' → all up stages; 'U0' → [(up,0)]; 'D012_U34' → down 0,1,2 + up 3,4;
+    'a' alone → all up stages (reference config/utils.py:312-329)."""
+    spec = spec or "Ua"
+    out: List[Tuple[str, int]] = []
+    for part in spec.split("_"):
+        if not part:
+            continue
+        m = re.match(r"^([UDud]?)([0-9a]+)$", part)
+        if not m:
+            raise ValueError(f"invalid stage spec {part!r} in {spec!r}")
+        side = {"U": "up", "D": "down", "": "up"}[m.group(1).upper()]
+        digits = m.group(2)
+        if digits == "a":
+            out += [(side, i) for i in range(num_layers)]
+        else:
+            out += [(side, int(d)) for d in digits]
+    return out
+
+
+_WEIGHT_RE = re.compile(r"^w(\d*\.?\d+)$")
+_TEMP_RE = re.compile(r"^T(\d*\.?\d+)$")
+_LABELKL_RE = re.compile(r"^labelkl(\d*\.?\d+)?$")
+
+
+def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
+    """Parse 'contrast-Ua-softnn-latent-label-l2-w.1' (order-insensitive
+    tokens, like the reference's segment scan in config/head.py:119-169)."""
+    tokens = ops.split("-")
+    if tokens and tokens[0] == "contrast":
+        tokens = tokens[1:]
+
+    kw = dict(
+        contrast="softnn", dist="l2", pos="cnt", temperature=1.0, weight=0.1
+    )
+    stages: Optional[Tuple[int, ...]] = None
+    for t in tokens:
+        if not t:
+            continue
+        if t in ("softnn", "nce"):
+            kw["contrast"] = t
+        elif t in ("l2", "l2square", "norml2", "kl", "cos"):
+            kw["dist"] = "norml2" if t == "cos" else t
+        elif t in ("latent", "logits", "probs", "f_out"):
+            pass  # ftype: latent is the only one wired (flagship default)
+        elif t in ("label", "cnt", "glb", "sub", "subspatial", "pts", "vote"):
+            pass  # sample source; 'label' is the flagship default
+        elif _LABELKL_RE.match(t):
+            m = _LABELKL_RE.match(t)
+            kw["pos"] = "kl"
+            if m.group(1):
+                kw["kl_threshold"] = float(m.group(1))
+        elif _WEIGHT_RE.match(t):
+            kw["weight"] = float(_WEIGHT_RE.match(t).group(1))
+        elif t.startswith("w."):
+            kw["weight"] = float(t[1:])
+        elif _TEMP_RE.match(t):
+            kw["temperature"] = float(_TEMP_RE.match(t).group(1))
+        elif re.match(r"^[UDud]?[0-9a]+$", t):
+            stages = tuple(i for _, i in parse_stage(t, num_layers))
+        else:
+            raise ValueError(f"unknown contrast token {t!r} in {ops!r}")
+    if stages is not None:
+        kw["stages"] = stages
+    else:
+        kw["stages"] = tuple(range(num_layers))
+    return ContrastConfig(**kw)
+
+
+def parse_multi_ops(ops: str, num_layers: int = 5) -> dict:
+    """Parse 'multi-Ua-concat-latent' → {'stages', 'combine', 'ftype'}
+    (reference config/head.py:84-111)."""
+    tokens = ops.split("-")
+    if tokens and tokens[0] == "multi":
+        tokens = tokens[1:]
+    out = {"stages": tuple(range(num_layers)), "combine": "concat", "ftype": "latent"}
+    for t in tokens:
+        if not t:
+            continue
+        if t in ("concat", "concatmlp", "sum"):
+            out["combine"] = t
+        elif t in ("latent", "logits", "probs"):
+            out["ftype"] = t
+        elif re.match(r"^[UDud]?[0-9a]+$", t):
+            out["stages"] = tuple(i for _, i in parse_stage(t, num_layers))
+        else:
+            raise ValueError(f"unknown multi token {t!r} in {ops!r}")
+    return out
+
+
+def parse_arch_out(arch_out: str, num_layers: int = 5) -> dict:
+    """Split a full head spec 'multi-...|contrast-...' into parsed heads
+    (the reference's `arch_out` joined with '|', config/s3dis.py:147-185)."""
+    heads: dict = {}
+    for seg in arch_out.split("|"):
+        seg = seg.strip()
+        if not seg:
+            continue
+        if seg.startswith("multi"):
+            heads["multi"] = parse_multi_ops(seg, num_layers)
+        elif seg.startswith("contrast"):
+            heads["contrast"] = parse_contrast_ops(seg, num_layers)
+        elif seg.startswith("mlp") or seg == "1-xen":
+            heads["mlp"] = {"ops": seg}
+        else:
+            raise ValueError(f"unknown head segment {seg!r}")
+    return heads

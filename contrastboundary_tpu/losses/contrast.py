@@ -194,7 +194,8 @@ def cbl_loss(
     """Full CBL: Σ over configured stages. Returns (total, per-stage dict)."""
     losses = {}
     total = 0.0
-    for i in cfg.stages:
+    stages = [i for i in cfg.stages if i < len(latents)]  # 'Ua' = all present
+    for i in stages:
         label_soft = subscene_labels(
             labels0, pyramid.subscene_idx[i], num_classes, ignore_label
         )

@@ -1,0 +1,244 @@
+"""CLI entry: config-driven training and voting evaluation.
+
+Equivalent of tensorflow/main.py (argparse → config → train/val dispatch) and
+pytorch/tool/train.py / tool/test.py, on one jitted data-parallel step:
+
+  python -m contrastboundary_tpu.main -c synthetic_tiny --mode train
+  python -m contrastboundary_tpu.main -c s3dis_pt_cbl --mode train \
+      --set data.data_root:/path/to/npy
+  python -m contrastboundary_tpu.main -c synthetic_tiny --mode val \
+      --model_path auto
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_dataset(cfg, split: str):
+    from .data import S3DISDataset, SyntheticSceneDataset
+
+    d = cfg.data
+    if d.dataset == "synthetic":
+        return SyntheticSceneDataset(
+            num_rooms=d.num_rooms,
+            points_per_room=d.points_per_room,
+            seed=cfg.seed,
+            split=split,
+            loop=d.loop if split == "train" else 1,
+        )
+    if d.dataset == "s3dis":
+        return S3DISDataset(
+            d.data_root, split=split, test_area=d.test_area,
+            loop=d.loop if split == "train" else 1,
+        )
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def setup(cfg, logger):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import build_pyramid
+    from .parallel import make_mesh, replicated_sharding
+    from .train import TrainStepConfig, create_train_state, make_train_step, make_eval_step
+    from .train.schedule import exponential_epoch_decay, multistep_epoch_decay
+    from .train.state import make_optimizer
+
+    model = cfg.build_model()
+    spec = cfg.pyramid_spec()
+    step_cfg = TrainStepConfig(
+        num_classes=cfg.data.num_classes,
+        spec=spec,
+        contrast=cfg.contrast,
+        ignore_label=cfg.data.ignore_label,
+    )
+
+    train_ds = build_dataset(cfg, "train")
+    steps_per_epoch = max(len(train_ds) // cfg.optim.batch_size, 1)
+    o = cfg.optim
+    if o.schedule == "multistep":
+        lr = multistep_epoch_decay(
+            o.base_lr, [m * o.epochs for m in o.milestones], o.multiplier,
+            steps_per_epoch,
+        )
+    else:
+        lr = exponential_epoch_decay(o.base_lr, o.decay_rate, steps_per_epoch)
+    tx = make_optimizer(
+        lr, optimizer=o.optimizer, momentum=o.momentum,
+        weight_decay=o.weight_decay, grad_clip_norm=o.grad_clip_norm,
+    )
+
+    # init on one example batch
+    from .data import make_batch_iterator
+
+    ex = next(
+        iter(
+            make_batch_iterator(
+                train_ds, cfg.optim.batch_size, cfg.data.n_points,
+                seed=cfg.seed, voxel_size=cfg.data.voxel_size,
+                voxel_max=cfg.data.voxel_max,
+            )
+        )
+    )
+    pyr = build_pyramid(jnp.asarray(ex["points"]), spec)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(cfg.seed), jnp.asarray(ex["features"]), pyr, train=True
+    )
+    nparams = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    logger.info(f"model {cfg.model.arch}: {nparams/1e6:.2f}M params, "
+                f"{steps_per_epoch} steps/epoch")
+    state = create_train_state(variables, tx)
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    return model, spec, step_cfg, state, mesh, train_ds, steps_per_epoch
+
+
+def run_eval(cfg, model, step_cfg, state, mesh, logger, num_votes=None):
+    import jax
+
+    from .eval.voting import VotingEvaluator
+    from .parallel import shard_batch
+    from .train import make_eval_step
+
+    eval_step = make_eval_step(model, step_cfg)
+    val_ds = build_dataset(cfg, "val")
+
+    def predict(batch):
+        b = dict(batch)
+        b["labels"] = np.zeros(b["points"].shape[:2], np.int32)
+        b = shard_batch(mesh, b)
+        probs, _ = eval_step(state, {k: b[k] for k in ("points", "features", "labels")})
+        return jax.device_get(probs)
+
+    ev = VotingEvaluator(
+        val_ds, predict, cfg.data.num_classes, cfg.data.n_points,
+        batch_size=cfg.eval.batch_size, voxel_size=cfg.data.voxel_size,
+        num_votes=num_votes if num_votes is not None else cfg.eval.num_votes,
+        smooth=cfg.eval.smooth, seed=cfg.seed,
+    )
+    m = ev.run(progress=lambda s, p: logger.info(f"  vote step {s}, min_pot {p:.2f}"))
+    logger.info(
+        f"val: sub mIoU {m['sub']['mIoU']:.4f} OA {m['sub']['OA']:.4f} "
+        f"mACC {m['sub']['mACC']:.4f} | full mIoU {m['full']['mIoU']:.4f} "
+        f"OA {m['full']['OA']:.4f}"
+    )
+    return m
+
+
+def train(cfg, logger, exp_dir: str):
+    import jax
+
+    from .data import default_train_transform, make_batch_iterator
+    from .eval.metrics import AverageMeter, metrics_from_confusion
+    from .parallel import shard_batch
+    from .train import make_train_step
+    from .train.checkpoint import CheckpointManager
+
+    model, spec, step_cfg, state, mesh, train_ds, steps_per_epoch = setup(cfg, logger)
+    train_step = make_train_step(model, step_cfg)
+    ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    transform = default_train_transform()
+    best_miou = -1.0
+
+    for epoch in range(cfg.optim.epochs):
+        t0 = time.time()
+        meters = {}
+        conf_sum = None
+        from .data.prefetch import prefetch
+
+        it = prefetch(
+            lambda epoch=epoch: make_batch_iterator(
+                train_ds, cfg.optim.batch_size, cfg.data.n_points,
+                seed=cfg.seed, epoch=epoch, transform=transform,
+                voxel_size=cfg.data.voxel_size, voxel_max=cfg.data.voxel_max,
+            ),
+            depth=3,
+        )
+        n_steps = 0
+        for i, batch in enumerate(it):
+            batch.pop("src_idx"), batch.pop("room_idx")
+            batch = shard_batch(mesh, batch)
+            state, metrics = train_step(state, batch)
+            n_steps += 1
+            conf = metrics.pop("confusion")
+            conf_sum = conf if conf_sum is None else conf_sum + conf
+            if (i + 1) % cfg.log_freq == 0:
+                for k, v in metrics.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v))
+                logger.info(
+                    f"epoch {epoch} step {i+1}/{steps_per_epoch}: "
+                    + " ".join(
+                        f"{k}={m.avg:.4f}" for k, m in sorted(meters.items())
+                        if not k.startswith("cbl_stage")
+                    )
+                )
+        tm = metrics_from_confusion(jax.device_get(conf_sum))
+        dt = time.time() - t0
+        pps = n_steps * cfg.optim.batch_size * cfg.data.n_points / max(dt, 1e-9)
+        logger.info(
+            f"epoch {epoch} done in {dt:.1f}s ({pps/1e3:.0f}k pts/s): "
+            f"train mIoU {tm['mIoU']:.4f} OA {tm['OA']:.4f}"
+        )
+
+        if (epoch + 1) % cfg.eval.eval_freq == 0 or epoch == cfg.optim.epochs - 1:
+            m = run_eval(cfg, model, step_cfg, state, mesh, logger)
+            miou = m["full"]["mIoU"]
+            is_best = miou > best_miou
+            best_miou = max(best_miou, miou)
+            if (epoch + 1) % cfg.save_freq == 0 or is_best:
+                ckpt.save(int(state.step), state, best=is_best)
+                logger.info(f"saved snap-{int(state.step)}" + (" (best)" if is_best else ""))
+    logger.info(f"training done; best full-cloud mIoU {best_miou:.4f}")
+    return best_miou
+
+
+def validate(cfg, logger, exp_dir: str, model_path: str):
+    from .train.checkpoint import CheckpointManager
+
+    model, spec, step_cfg, state, mesh, _, _ = setup(cfg, logger)
+    ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    state, skipped = ckpt.restore(state, model_path)
+    if skipped:
+        logger.info(f"partial restore skipped {len(skipped)} leaves")
+    logger.info(f"restored step {int(state.step)}")
+    return run_eval(cfg, model, step_cfg, state, mesh, logger)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="contrastboundary_tpu")
+    parser.add_argument("-c", "--config", default="synthetic_tiny")
+    parser.add_argument("--mode", default="train", choices=["train", "val"])
+    parser.add_argument("--set", dest="sets", default=None,
+                        help="overrides a.b:v;c.d:v")
+    parser.add_argument("--model_path", default="auto",
+                        help="val mode: auto | best | <path>")
+    parser.add_argument("--exp_dir", default=None)
+    args = parser.parse_args(argv)
+
+    from .config import load_config
+    from .utils import setup_logger
+
+    cfg = load_config(args.config, args.sets)
+    exp_dir = args.exp_dir or os.path.join(
+        cfg.save_path, cfg.data.dataset, cfg.name, time.strftime("Log_%m%d_%H%M%S")
+    )
+    if args.mode == "val" and args.exp_dir is None:
+        raise SystemExit("--mode val requires --exp_dir pointing at a train run")
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = setup_logger(log_file=os.path.join(exp_dir, f"log_{args.mode}.txt"))
+    logger.info(f"config {cfg.name}: heads={list(cfg.heads)} exp_dir={exp_dir}")
+
+    np.random.seed(cfg.seed)
+    if args.mode == "train":
+        train(cfg, logger, exp_dir)
+    else:
+        validate(cfg, logger, exp_dir, args.model_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Train/eval step factories and the epoch loop.
+
+TPU-native equivalent of the reference's execution layer — GraphBuilder's
+tower assembly + average_gradients (tensorflow/utils/tf_graph_builder.py:58-110)
+and the DDP loop (pytorch/tool/train.py:304-380): here one jitted step fuses
+pyramid construction, forward, CE + CBL losses, backward and the optimizer
+update; data parallelism is expressed by sharding the batch over the mesh's
+`data` axis and letting XLA insert the gradient `psum`s.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..eval.metrics import AverageMeter, confusion_matrix, metrics_from_confusion
+from ..losses.contrast import ContrastConfig, cbl_loss
+from ..losses.segmentation import cross_entropy
+from ..ops.pyramid import PyramidSpec, build_pyramid
+from .state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    num_classes: int
+    spec: PyramidSpec
+    contrast: Optional[ContrastConfig] = None
+    ignore_label: int = -1
+
+
+def make_train_step(model, cfg: TrainStepConfig) -> Callable:
+    """Returns jitted (state, batch) → (state, metrics). batch is a dict with
+    points [B,N,3], features [B,N,C], labels [B,N]."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        pyramid = build_pyramid(batch["points"], cfg.spec)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["features"],
+                pyramid,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            ce = cross_entropy(out.logits, batch["labels"], cfg.ignore_label)
+            total = ce
+            metrics = {"ce": ce}
+            if cfg.contrast is not None:
+                cb, per_stage = cbl_loss(
+                    out.latents,
+                    pyramid,
+                    batch["labels"],
+                    cfg.num_classes,
+                    cfg.contrast,
+                    cfg.ignore_label,
+                )
+                total = total + cb
+                metrics["cbl"] = cb
+                metrics.update(per_stage)
+            metrics["loss"] = total
+            pred = jnp.argmax(out.logits, axis=-1)
+            conf = confusion_matrix(
+                pred, batch["labels"], cfg.num_classes, cfg.ignore_label
+            )
+            return total, (mutated["batch_stats"], metrics, conf)
+
+        grads, (new_bs, metrics, conf) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics["confusion"] = conf
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=0)
+
+
+def make_eval_step(model, cfg: TrainStepConfig) -> Callable:
+    """Returns jitted (state, batch) → (probs [B,N,C], confusion)."""
+
+    def eval_step(state: TrainState, batch):
+        pyramid = build_pyramid(batch["points"], cfg.spec)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["features"],
+            pyramid,
+            train=False,
+        )
+        probs = jax.nn.softmax(out.logits, axis=-1)
+        pred = jnp.argmax(out.logits, axis=-1)
+        conf = confusion_matrix(
+            pred, batch["labels"], cfg.num_classes, cfg.ignore_label
+        )
+        return probs, conf
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Minimal epoch driver: meters, periodic logging, metric aggregation.
+    (The full dataset trainer with voting validation lives with the data
+    pipeline; reference utils/trainer.py:31-171.)"""
+
+    def __init__(self, model, state: TrainState, cfg: TrainStepConfig, log_fn=print):
+        self.model = model
+        self.state = state
+        self.cfg = cfg
+        self.train_step = make_train_step(model, cfg)
+        self.eval_step = make_eval_step(model, cfg)
+        self.log = log_fn
+
+    def train_epoch(
+        self, batches: Iterable, log_freq: int = 10
+    ) -> Dict[str, float]:
+        meters: Dict[str, AverageMeter] = {}
+        conf_sum = None
+        t0 = time.time()
+        n = 0
+        for i, batch in enumerate(batches):
+            self.state, metrics = self.train_step(self.state, batch)
+            conf = metrics.pop("confusion")
+            conf_sum = conf if conf_sum is None else conf_sum + conf
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            n += 1
+            if log_freq and (i + 1) % log_freq == 0:
+                self.log(
+                    f"step {i+1}: "
+                    + " ".join(f"{k}={m.avg:.4f}" for k, m in meters.items())
+                )
+        out = {k: m.avg for k, m in meters.items()}
+        if conf_sum is not None:
+            m = metrics_from_confusion(jax.device_get(conf_sum))
+            out.update({k: m[k] for k in ("mIoU", "OA", "mACC")})
+        out["steps_per_sec"] = n / max(time.time() - t0, 1e-9)
+        return out

@@ -15,6 +15,11 @@ import jax
 import numpy as np
 import pytest
 
+# the axon sitecustomize force-registers the TPU backend and overwrites
+# jax_platforms ("axon,cpu") — put it back to pure CPU so the virtual
+# 8-device mesh is what tests see.
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compile cache: the tiny test models cost minutes to compile on
 # CPU the first time; cached re-runs are seconds.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl_tests")
