@@ -37,7 +37,7 @@ class DataConfig:
 
 @dataclasses.dataclass
 class ModelConfig:
-    arch: str = "pointtransformer"
+    arch: str = "pointtransformer"  # pointtransformer | convnet
     planes: Tuple[int, ...] = (32, 64, 128, 256, 512)
     blocks: Tuple[int, ...] = (2, 3, 4, 6, 3)
     share_planes: int = 8
@@ -47,6 +47,16 @@ class ModelConfig:
     contrast_nsample: Tuple[int, ...] = (36, 24, 24, 24, 24)
     sampler: str = "bucket_fps"
     dtype: str = "float32"  # float32 | bfloat16
+    # --- convnet family (reference config/s3dis/adapt.yaml defaults) ---
+    aggregation: str = "adaptive_weight"  # pospool | adaptive_weight | pointwisemlp | pseudo_grid | identity
+    agg_kwargs: Tuple[Tuple[str, Any], ...] = ()
+    bottleneck_ratio: int = 2
+    depth: int = 1
+    base_radius: float = 0.1  # first_subsampling_dl * density_parameter / 2
+    density_parameter: float = 5.0
+    in_features: str = "1-rgb-Z"
+    # radius-masked knn caps per level (reference neighborhood_limits)
+    neighborhood_limits: Tuple[int, ...] = (26, 31, 38, 41, 39)
 
 
 @dataclasses.dataclass
@@ -104,6 +114,23 @@ class Config:
 
     def pyramid_spec(self) -> PyramidSpec:
         m = self.model
+        if m.arch == "convnet":
+            nl = len(m.strides)
+            radii = tuple(m.base_radius * 2**i for i in range(nl))
+            return PyramidSpec(
+                strides=tuple(m.strides),
+                k_self=tuple(m.neighborhood_limits[:nl]),
+                k_down=tuple(m.neighborhood_limits[:nl]),
+                k_contrast=tuple(m.contrast_nsample) if self.contrast else None,
+                with_subscene=self.contrast is not None,
+                sampler=m.sampler,
+                radii=radii,
+                # pooling uses the source-level radius (reference kr_sample)
+                down_radii=radii,
+                voxel_sizes=tuple(
+                    self.data.voxel_size * 2**i for i in range(nl)
+                ),
+            )
         return PyramidSpec(
             strides=tuple(m.strides),
             k_self=tuple(m.nsample),
@@ -114,10 +141,13 @@ class Config:
         )
 
     def build_model(self):
-        from ..models import PointTransformerSeg
+        import jax.numpy as jnp
 
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.model.dtype
+        ]
         if self.model.arch == "pointtransformer":
-            import jax.numpy as jnp
+            from ..models import PointTransformerSeg
 
             return PointTransformerSeg(
                 num_classes=self.data.num_classes,
@@ -126,9 +156,24 @@ class Config:
                 share_planes=self.model.share_planes,
                 base_fdim=self.model.base_fdim,
                 use_multihead=self.use_multihead,
-                dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-                    self.model.dtype
-                ],
+                dtype=dtype,
+            )
+        if self.model.arch == "convnet":
+            from ..models.convnet import ConvNetSeg
+
+            return ConvNetSeg(
+                num_classes=self.data.num_classes,
+                base_fdim=self.model.base_fdim,
+                bottleneck_ratio=self.model.bottleneck_ratio,
+                depth=self.model.depth,
+                base_radius=self.model.base_radius,
+                num_layers=len(self.model.strides),
+                aggregation=self.model.aggregation,
+                agg_kwargs=tuple(self.model.agg_kwargs),
+                density_parameter=self.model.density_parameter,
+                use_multihead=self.use_multihead,
+                in_features=self.model.in_features,
+                dtype=dtype,
             )
         raise ValueError(f"unknown arch {self.model.arch!r}")
 

@@ -43,6 +43,83 @@ register_config(
     arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl.5-l2-w.1",
 )
 
+# ConvNet + CBL (the 69.4-mIoU row: adaptive_weight aggregation,
+# tensorflow/config/s3dis/adapt.yaml; 600 epochs × 500 steps, SGD m=0.98,
+# lr 0.02 × 0.9885531^epoch, grad clip 100, weight decay as L2 1e-3)
+register_config(
+    "s3dis_conv_cbl",
+    data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
+          "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
+           "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
+           "contrast_nsample": (36, 24, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 600, "batch_size": 8},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+)
+
+# ConvNet + CBL(kl) (the 69.5-mIoU row)
+register_config(
+    "s3dis_conv_cbl_kl",
+    data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
+          "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
+           "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
+           "contrast_nsample": (36, 24, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 600, "batch_size": 8},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl.5-l2-w.1",
+)
+
+# PosPool + CBL (pospool.yaml: sin_cos embedding, mean reduction)
+register_config(
+    "s3dis_pospool_cbl",
+    data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
+          "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"arch": "convnet", "base_fdim": 72, "aggregation": "pospool",
+           "agg_kwargs": (("position_embedding", "sin_cos"),
+                          ("reduction", "mean")),
+           "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
+           "contrast_nsample": (36, 24, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 600, "batch_size": 8},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+)
+
+# PseudoGrid (KPConv) + CBL (pseudogrid.yaml)
+register_config(
+    "s3dis_pseudogrid_cbl",
+    data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
+          "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"arch": "convnet", "base_fdim": 72, "aggregation": "pseudo_grid",
+           "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
+           "contrast_nsample": (36, 24, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 600, "batch_size": 8},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+)
+
+# synthetic ConvNet smoke config
+register_config(
+    "synthetic_conv_tiny",
+    data={"dataset": "synthetic", "num_rooms": 8, "points_per_room": 40000,
+          "voxel_size": 0.06, "voxel_max": 4096, "n_points": 4096,
+          "loop": 4, "num_classes": 13},
+    model={"arch": "convnet", "base_fdim": 36, "aggregation": "adaptive_weight",
+           "sampler": "voxel", "base_radius": 0.15,
+           "contrast_nsample": (16, 16, 16, 16, 16),
+           "neighborhood_limits": (16, 20, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 10, "batch_size": 4},
+    eval={"num_votes": 1.0, "batch_size": 4},
+    log_freq=5,
+)
+
 # synthetic smoke/convergence configs (no S3DIS download needed)
 register_config(
     "synthetic_tiny",

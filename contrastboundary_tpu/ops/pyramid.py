@@ -26,7 +26,7 @@ from flax import struct
 from ..core.gather import batch_gather
 from .interpolate import interpolation_weights
 from .knn import knn
-from .sampling import bucket_fps, fps, serialized_sample
+from .sampling import bucket_fps, fps, serialized_sample, voxel_sample
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,9 +45,19 @@ class PyramidSpec:
     k_up: int = 3
     k_contrast: Optional[Tuple[int, ...]] = None
     with_subscene: bool = False
-    sampler: str = "bucket_fps"  # fps | bucket_fps | serialized
+    sampler: str = "bucket_fps"  # fps | bucket_fps | serialized | voxel
     num_buckets: int = 64
     knn_chunk: int = 2048
+    # ConvNet radius semantics: KNN results beyond radius get the shadow
+    # index (reference BatchOrderedNeighbors). radii[l] masks self-KNN at
+    # level l; down_radii[l] masks the level-(l-1)→l pooling KNN.
+    radii: Optional[Tuple[float, ...]] = None
+    down_radii: Optional[Tuple[float, ...]] = None
+    # sampler='voxel': grid cell size per level (level 0 unused)
+    voxel_sizes: Optional[Tuple[float, ...]] = None
+    # None → exact lax.top_k; float → lax.approx_max_k recall target
+    # (TPU-native, ~30× faster; self-neighbors are force-restored)
+    knn_recall: Optional[float] = 0.95
 
     @property
     def num_levels(self) -> int:
@@ -96,7 +106,7 @@ class Pyramid:
     subscene_idx: Tuple
 
 
-def _sample(points: jax.Array, m: int, spec: PyramidSpec) -> jax.Array:
+def _sample(points: jax.Array, m: int, spec: PyramidSpec, level: int = 1) -> jax.Array:
     if spec.sampler == "fps":
         return fps(points, m)
     if spec.sampler == "bucket_fps":
@@ -109,6 +119,10 @@ def _sample(points: jax.Array, m: int, spec: PyramidSpec) -> jax.Array:
         return bucket_fps(points, m, g)
     if spec.sampler == "serialized":
         return serialized_sample(points, m)
+    if spec.sampler == "voxel":
+        if spec.voxel_sizes is None:
+            raise ValueError("sampler='voxel' requires voxel_sizes")
+        return voxel_sample(points, m, spec.voxel_sizes[level])
     raise ValueError(f"unknown sampler {spec.sampler!r}")
 
 
@@ -120,7 +134,10 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
 
     pts = [points]
     sample_idx = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))]
-    self_idx = [knn(points, points, spec.k_self[0], chunk=chunk)[0]]
+    self_idx = [
+        knn(points, points, spec.k_self[0], chunk=chunk, recall=spec.knn_recall,
+            ensure_self=True)[0]
+    ]
     down_idx = [None]
     up_idx = [None]
     up_w = [None]
@@ -128,27 +145,43 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     contrast_idx = []
     subscene_idx = []
 
+    if spec.radii is not None:
+        # level-0 self-KNN needs the radius mask too: rebuild
+        self_idx = [
+            knn(points, points, spec.k_self[0], radius=spec.radii[0], chunk=chunk,
+                recall=spec.knn_recall, ensure_self=True)[0]
+        ]
+
     for l in range(1, spec.num_levels):
         prev = pts[l - 1]
         m = prev.shape[1] // spec.strides[l]
-        idx = _sample(prev, m, spec)
+        idx = _sample(prev, m, spec, l)
         cur = batch_gather(prev, idx)
         pts.append(cur)
         sample_idx.append(idx)
-        d_idx, _ = knn(cur, prev, spec.k_down[l], chunk=chunk)
+        d_idx, _ = knn(
+            cur, prev, spec.k_down[l],
+            radius=spec.down_radii[l] if spec.down_radii else None, chunk=chunk,
+            recall=spec.knn_recall,
+        )
         down_idx.append(d_idx)
-        s_idx, _ = knn(cur, cur, spec.k_self[l], chunk=chunk)
+        s_idx, _ = knn(
+            cur, cur, spec.k_self[l],
+            radius=spec.radii[l] if spec.radii else None, chunk=chunk,
+            recall=spec.knn_recall, ensure_self=True,
+        )
         self_idx.append(s_idx)
-        u_idx, u_d2 = knn(prev, cur, spec.k_up, chunk=chunk)
+        u_idx, u_d2 = knn(prev, cur, spec.k_up, chunk=chunk, recall=spec.knn_recall)
         up_idx.append(u_idx)
         up_w.append(interpolation_weights(u_d2))
-        n0_idx, _ = knn(points, cur, 1, chunk=chunk)
+        n0_idx, _ = knn(points, cur, 1, chunk=chunk, recall=spec.knn_recall)
         near0_idx.append(n0_idx[..., 0])
 
     if spec.k_contrast is not None:
         for l in range(spec.num_levels):
             c_idx, _ = knn(
-                pts[l], pts[l], spec.k_contrast[l] - 1, exclude_self=True, chunk=chunk
+                pts[l], pts[l], spec.k_contrast[l] - 1, exclude_self=True,
+                chunk=chunk, recall=spec.knn_recall,
             )
             contrast_idx.append(c_idx)
     else:
@@ -158,7 +191,7 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         subscene_idx.append(None)  # level 0 uses labels directly
         for l in range(1, spec.num_levels):
             kr = spec.subscene_k(l)
-            ss_idx, _ = knn(pts[l], points, kr, chunk=chunk)
+            ss_idx, _ = knn(pts[l], points, kr, chunk=chunk, recall=spec.knn_recall)
             subscene_idx.append(ss_idx)
     else:
         subscene_idx = [None] * spec.num_levels

@@ -114,6 +114,34 @@ def serialized_sample(points: jax.Array, m: int) -> jax.Array:
     return order[:, stride_idx]
 
 
+@functools.partial(jax.jit, static_argnames=("m", "voxel_size"))
+def voxel_sample(points: jax.Array, m: int, voxel_size: float) -> jax.Array:
+    """Grid subsample to a fixed m: one representative point per occupied
+    voxel, padded (when fewer voxels than m) or uniformly thinned along the
+    hash curve (when more) via a linspace pick over the first-occurrences.
+
+    The fixed-shape stand-in for the reference's data-dependent grid
+    subsampling (tensorflow/ops/tf_custom_ops/tf_subsampling — voxel count
+    varies per cloud); padding repeats real points so no masks are needed
+    downstream. points [B, N, 3] → idx [B, m] int32.
+    """
+    from .voxel import voxelize_indices
+
+    def one(p):
+        n = p.shape[0]
+        h = voxelize_indices(p, voxel_size)
+        order = jnp.argsort(h, stable=True)
+        hs = h[order]
+        first = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+        count = jnp.sum(first.astype(jnp.int32))
+        # positions of first-occurrences, packed to the front (stable)
+        first_pos = jnp.argsort(~first, stable=True)
+        j = (jnp.arange(m) * count) // m  # in [0, count)
+        return order[first_pos[j]].astype(jnp.int32)
+
+    return jax.vmap(one)(points)
+
+
 def random_sample(key: jax.Array, batch: int, n: int, m: int) -> jax.Array:
     """Uniform random sample without replacement. → idx [B, m]."""
     keys = jax.random.split(key, batch)
