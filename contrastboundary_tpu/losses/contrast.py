@@ -155,12 +155,16 @@ def cbl_stage_loss(
     valid = (contrast_idx < m)
     safe_idx = jnp.where(valid, contrast_idx, 0)
 
-    nb_label = batch_gather(label_soft, safe_idx)  # [B, M, K, ncls]
     if cfg.dist == "norml2":
         features = features / jnp.maximum(
             jnp.linalg.norm(features, axis=-1, keepdims=True), EPS
         )
-    nb_feat = batch_gather(features, safe_idx)  # [B, M, K, C]
+    # one fused gather (row-bound on TPU): [label_soft | features]
+    c = features.shape[-1]
+    fused = jnp.concatenate([label_soft, features.astype(label_soft.dtype)], -1)
+    nb = batch_gather(fused, safe_idx)  # [B, M, K, ncls + C]
+    nb_label = nb[..., : label_soft.shape[-1]]
+    nb_feat = nb[..., label_soft.shape[-1] :].astype(features.dtype)
 
     posmask = _posmask_cnt(label_soft, nb_label)
     validf = valid.astype(jnp.float32)

@@ -98,7 +98,10 @@ def setup(cfg, logger):
     return model, spec, step_cfg, state, mesh, train_ds, steps_per_epoch
 
 
-def run_eval(cfg, model, step_cfg, state, mesh, logger, num_votes=None):
+def run_eval(
+    cfg, model, step_cfg, state, mesh, logger,
+    num_votes=None, extra_ops: str = "", h5_path: str = "",
+):
     import jax
 
     from .eval.voting import VotingEvaluator
@@ -127,6 +130,36 @@ def run_eval(cfg, model, step_cfg, state, mesh, logger, num_votes=None):
         f"mACC {m['sub']['mACC']:.4f} | full mIoU {m['full']['mIoU']:.4f} "
         f"OA {m['full']['OA']:.4f}"
     )
+
+    if extra_ops and "boundary" in extra_ops:
+        from .eval.boundary import BoundaryEvaluator, save_eval_h5
+
+        bev = BoundaryEvaluator(
+            cfg.data.num_classes, radius=cfg.model.base_radius
+        )
+        clouds = []
+        for cs in ev.clouds:
+            bev.add_cloud(cs.coord, cs.label.astype(np.int64), cs.probs)
+            clouds.append(
+                {"coord": cs.coord, "label": cs.label, "prob": cs.probs}
+            )
+        br = bev.results()
+        m["boundary"] = br
+        logger.info(f"boundary: B-IoU {br['B-IoU']:.4f}")
+        for which in ("bound", "plain", "ideal"):
+            s = br[f"conf_{which}_label"]
+            logger.info(
+                f"  conf_{which}: mIoU {s['mIoU']:.4f} OA {s['OA']:.4f} "
+                f"mACC {s['mACC']:.4f}"
+            )
+        d = br["dist_prob:kl"]
+        logger.info(
+            f"  prob-kl across boundary: pos {d['pos']:.4f} neg {d['neg']:.4f} "
+            f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
+        )
+        if h5_path:
+            save_eval_h5(h5_path, clouds)
+            logger.info(f"saved eval artifacts to {h5_path}")
     return m
 
 
@@ -197,7 +230,7 @@ def train(cfg, logger, exp_dir: str):
     return best_miou
 
 
-def validate(cfg, logger, exp_dir: str, model_path: str):
+def validate(cfg, logger, exp_dir: str, model_path: str, extra_ops: str = ""):
     from .train.checkpoint import CheckpointManager
 
     model, spec, step_cfg, state, mesh, _, _ = setup(cfg, logger)
@@ -206,7 +239,11 @@ def validate(cfg, logger, exp_dir: str, model_path: str):
     if skipped:
         logger.info(f"partial restore skipped {len(skipped)} leaves")
     logger.info(f"restored step {int(state.step)}")
-    return run_eval(cfg, model, step_cfg, state, mesh, logger)
+    h5 = os.path.join(exp_dir, f"val_{int(state.step)}.h5") if "save" in extra_ops else ""
+    return run_eval(
+        cfg, model, step_cfg, state, mesh, logger,
+        extra_ops=extra_ops, h5_path=h5,
+    )
 
 
 def main(argv=None):
@@ -217,6 +254,8 @@ def main(argv=None):
                         help="overrides a.b:v;c.d:v")
     parser.add_argument("--model_path", default="auto",
                         help="val mode: auto | best | <path>")
+    parser.add_argument("--extra_ops", default="boundary-stat",
+                        help="val mode extras: boundary | stat | save (h5)")
     parser.add_argument("--exp_dir", default=None)
     args = parser.parse_args(argv)
 
@@ -237,7 +276,7 @@ def main(argv=None):
     if args.mode == "train":
         train(cfg, logger, exp_dir)
     else:
-        validate(cfg, logger, exp_dir, args.model_path)
+        validate(cfg, logger, exp_dir, args.model_path, args.extra_ops)
 
 
 if __name__ == "__main__":

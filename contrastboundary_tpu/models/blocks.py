@@ -38,7 +38,7 @@ class PointTransformerLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, p, x, nb_idx, train: bool = True):
+    def __call__(self, p, x, nb_idx, train: bool = True, rel=None):
         c = self.out_planes
         s = self.share_planes
         dense = lambda d, name: nn.Dense(d, dtype=self.dtype, name=name)
@@ -51,10 +51,16 @@ class PointTransformerLayer(nn.Module):
         k = dense(c, "linear_k")(x)
         v = dense(c, "linear_v")(x)
 
-        k_nb = batch_gather(k, nb_idx)  # [B, N, K, c]
-        v_nb = batch_gather(v, nb_idx)
-        p_nb = batch_gather(p, nb_idx)
-        p_r = (p_nb - p[:, :, None, :]).astype(self.dtype)
+        # single fused neighbor gather: TPU gathers are row-bound (~8.5ns /
+        # row regardless of width ≤128 lanes), so one [2c]-wide gather costs
+        # half of separate k and v gathers; the relative positions come
+        # precomputed from the pyramid (shared by every block of the level).
+        kv_nb = batch_gather(jnp.concatenate([k, v], axis=-1), nb_idx)
+        k_nb, v_nb = kv_nb[..., :c], kv_nb[..., c:]
+        if rel is None:
+            p_nb = batch_gather(p, nb_idx)
+            rel = p_nb - p[:, :, None, :]
+        p_r = rel.astype(self.dtype)
 
         # positional encoding: Dense(3) → BN → ReLU → Dense(c)
         pe = dense(3, "p_fc1")(p_r)
@@ -86,7 +92,10 @@ class TransitionDown(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, p_prev, x_prev, p_cur=None, down_idx=None, train: bool = True):
+    def __call__(
+        self, p_prev, x_prev, p_cur=None, down_idx=None, train: bool = True,
+        rel=None,
+    ):
         dense = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)
         bn = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -96,8 +105,10 @@ class TransitionDown(nn.Module):
             return nn.relu(bn(dense(x_prev)))
 
         x_nb = batch_gather(x_prev, down_idx)  # [B, M, K, c]
-        p_nb = batch_gather(p_prev, down_idx)
-        rel = (p_nb - p_cur[:, :, None, :]).astype(self.dtype)
+        if rel is None:
+            p_nb = batch_gather(p_prev, down_idx)
+            rel = p_nb - p_cur[:, :, None, :]
+        rel = rel.astype(self.dtype)
         g = jnp.concatenate([rel, x_nb], axis=-1)
         g = nn.relu(bn(dense(g)))
         return jnp.max(g, axis=2)
@@ -150,7 +161,7 @@ class PointTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, p, x, nb_idx, train: bool = True):
+    def __call__(self, p, x, nb_idx, train: bool = True, rel=None):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name=name,
@@ -160,7 +171,7 @@ class PointTransformerBlock(nn.Module):
         y = nn.relu(bn("bn1")(y))
         y = PointTransformerLayer(
             self.planes, self.share_planes, dtype=self.dtype, name="transformer2"
-        )(p, y, nb_idx, train)
+        )(p, y, nb_idx, train, rel=rel)
         y = nn.relu(bn("bn2")(y))
         y = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear3")(y)
         y = bn("bn3")(y)

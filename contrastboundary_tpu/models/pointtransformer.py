@@ -94,13 +94,14 @@ class PointTransformerSeg(nn.Module):
                 x = TransitionDown(
                     self.planes[l], stride=4, dtype=self.dtype, name=f"enc{l}_down"
                 )(
-                    pyramid.points[l - 1], x, p, pyramid.down_idx[l], train=train
+                    pyramid.points[l - 1], x, p, pyramid.down_idx[l], train=train,
+                    rel=pyramid.down_rel[l],
                 )
             for b in range(1, self.blocks[l]):
                 x = PointTransformerBlock(
                     self.planes[l], self.share_planes, dtype=self.dtype,
                     name=f"enc{l}_blk{b}",
-                )(p, x, pyramid.self_idx[l], train)
+                )(p, x, pyramid.self_idx[l], train, rel=pyramid.self_rel[l])
             down_feats.append(x)
 
         # ---- decoder ----
@@ -111,7 +112,8 @@ class PointTransformerSeg(nn.Module):
         x = PointTransformerBlock(
             self.planes[-1], self.share_planes, dtype=self.dtype,
             name=f"dec{num_levels-1}_blk",
-        )(pyramid.points[-1], x, pyramid.self_idx[-1], train)
+        )(pyramid.points[-1], x, pyramid.self_idx[-1], train,
+          rel=pyramid.self_rel[-1])
         up_feats[-1] = x
 
         for l in range(num_levels - 2, -1, -1):
@@ -121,7 +123,8 @@ class PointTransformerSeg(nn.Module):
             x = PointTransformerBlock(
                 self.planes[l], self.share_planes, dtype=self.dtype,
                 name=f"dec{l}_blk",
-            )(pyramid.points[l], x, pyramid.self_idx[l], train)
+            )(pyramid.points[l], x, pyramid.self_idx[l], train,
+              rel=pyramid.self_rel[l])
             up_feats[l] = x
 
         if self.use_multihead:

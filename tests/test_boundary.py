@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from contrastboundary_tpu.eval.boundary import (
+    BoundaryEvaluator,
+    boundary_mask_np,
+    radius_neighbors_np,
+    save_eval_h5,
+    load_eval_h5,
+)
+
+
+def two_region_cloud(n=400, rng=None):
+    rng = rng or np.random.RandomState(0)
+    coord = rng.rand(n, 3).astype(np.float32)
+    label = (coord[:, 0] > 0.5).astype(np.int64)
+    return coord, label
+
+
+def test_radius_neighbors_shadow(rng):
+    coord = rng.rand(50, 3).astype(np.float32)
+    nb = radius_neighbors_np(coord, radius=0.15, max_k=10)
+    assert nb.shape == (50, 10)
+    assert (nb[:, 0] == np.arange(50)).all()  # self first (d=0)
+    d = np.linalg.norm(coord[:, None] - coord[None], axis=-1)
+    for i in range(50):
+        for j, ix in enumerate(nb[i]):
+            if ix < 50:
+                assert d[i, ix] <= 0.15 + 1e-6
+
+
+def test_boundary_mask_plane():
+    coord, label = two_region_cloud()
+    nb = radius_neighbors_np(coord, radius=0.12, max_k=16)
+    bound, plain, (eq, neq) = boundary_mask_np(label, nb)
+    # boundary points hug x=0.5
+    assert bound.sum() > 0
+    assert np.abs(coord[bound][:, 0] - 0.5).max() < 0.13
+    assert (bound & plain).sum() == 0
+    # pos/neg masks consistent with bound
+    assert (neq.any(-1) == bound).all()
+
+
+def test_perfect_prediction_biou_one():
+    coord, label = two_region_cloud()
+    prob = np.eye(2, dtype=np.float32)[label] * 0.98 + 0.01
+    ev = BoundaryEvaluator(num_classes=2, radius=0.12)
+    ev.add_cloud(coord, label, prob)
+    r = ev.results()
+    assert r["B-IoU"] == 1.0
+    assert r["conf_bound_label"]["OA"] == pytest.approx(1.0)
+    assert r["conf_ideal_label"]["OA"] == pytest.approx(1.0)
+
+
+def test_noisy_prediction_ideal_better(rng):
+    coord, label = two_region_cloud(rng=rng)
+    pred = label.copy()
+    flip = rng.rand(len(label)) < 0.2
+    pred[flip] = 1 - pred[flip]
+    prob = np.eye(2, dtype=np.float32)[pred] * 0.9 + 0.05
+    ev = BoundaryEvaluator(num_classes=2, radius=0.12)
+    ev.add_cloud(coord, label, prob)
+    r = ev.results()
+    assert r["B-IoU"] < 1.0
+    # forcing boundary to gt must improve over the plain confusion OA
+    assert r["conf_ideal_label"]["OA"] >= r["conf_bound_label"]["OA"]
+    # kl prob distance should be larger across boundaries than in plain areas
+    d = r["dist_prob:kl"]
+    assert d["neg"] > d["pos"]
+
+
+def test_feature_distance_separated(rng):
+    coord, label = two_region_cloud(rng=rng)
+    feats = np.where(label[:, None] > 0, 1.0, -1.0) + rng.randn(len(label), 4) * 0.05
+    prob = np.eye(2, dtype=np.float32)[label]
+    ev = BoundaryEvaluator(num_classes=2, radius=0.12)
+    ev.add_cloud(coord, label, prob, features={"latent0": feats.astype(np.float32)})
+    r = ev.results()
+    d = r["dist_latent0:l2"]
+    assert d["neg"] > 10 * d["pos"]  # cross-label pairs far apart
+    assert d["bound_mean"] > d["plain_mean"]
+
+
+def test_h5_roundtrip(tmp_path, rng):
+    coord, label = two_region_cloud(rng=rng)
+    prob = np.eye(2, dtype=np.float32)[label]
+    clouds = [{"coord": coord, "label": label, "prob": prob}]
+    p = str(tmp_path / "eval.h5")
+    save_eval_h5(p, clouds)
+    loaded = load_eval_h5(p)
+    np.testing.assert_array_equal(loaded[0]["label"], label)
+
+    # offline re-analysis from the h5 (reference solve_extra_ops_from_file)
+    ev = BoundaryEvaluator(num_classes=2, radius=0.12)
+    for c in loaded:
+        ev.add_cloud(c["coord"], c["label"], c["prob"])
+    assert ev.results()["B-IoU"] == 1.0

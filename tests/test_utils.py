@@ -1,0 +1,54 @@
+import os
+
+import numpy as np
+import pytest
+
+from contrastboundary_tpu.utils.ply import read_ply, write_ply
+from contrastboundary_tpu.utils.profiling import StepTimer, memory_stats
+from contrastboundary_tpu.data.prepare import prepare_s3dis, room_to_array
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.rand(100, 3).astype(np.float32)
+    rgb = (rng.rand(100, 3) * 255).astype(np.uint8)
+    label = rng.randint(0, 13, 100).astype(np.int32)
+    p = str(tmp_path / "cloud.ply")
+    write_ply(p, [pts, rgb, label], ["x", "y", "z", "red", "green", "blue", "class"])
+    d = read_ply(p)
+    np.testing.assert_allclose(np.stack([d["x"], d["y"], d["z"]], 1), pts)
+    np.testing.assert_array_equal(d["red"], rgb[:, 0])
+    np.testing.assert_array_equal(d["class"], label)
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.data_ready()
+    t.step_done()
+    s = t.summary()
+    assert s["data_ms"] >= 0 and s["step_ms"] >= 0
+
+
+def test_memory_stats():
+    s = memory_stats()
+    assert s.get("host_rss_mb", 1.0) > 0
+
+
+def test_prepare_s3dis(tmp_path, rng):
+    # fabricate a tiny raw layout
+    ann = tmp_path / "raw" / "Area_1" / "office_1" / "Annotations"
+    ann.mkdir(parents=True)
+    for name in ["wall_1", "chair_1", "bogusclass_1"]:
+        data = np.concatenate(
+            [rng.rand(20, 3), rng.randint(0, 255, (20, 3))], axis=1
+        )
+        np.savetxt(str(ann / f"{name}.txt"), data, fmt="%.4f")
+    out = tmp_path / "npy"
+    converted = prepare_s3dis(str(tmp_path / "raw"), str(out), verbose=False)
+    assert len(converted) == 1
+    arr = np.load(converted[0])
+    assert arr.shape == (60, 7)
+    labels = set(arr[:, 6].astype(int))
+    assert labels == {2, 8, 12}  # wall, chair, clutter(fallback)
+
+    # idempotent: second run converts nothing
+    assert prepare_s3dis(str(tmp_path / "raw"), str(out), verbose=False) == []
