@@ -95,6 +95,8 @@ class Config:
     save_path: str = "results"
     log_freq: int = 10
     save_freq: int = 1
+    debug_nan: bool = False  # dump reproducer + per-var NaN stats on NaN loss
+    runtime_freq: int = 0  # >0: capture a jax.profiler trace every N steps
 
     @property
     def num_layers(self) -> int:

@@ -143,3 +143,28 @@ register_config(
 )
 
 register_config("default", data={"dataset": "synthetic"})
+
+# ScanNet ConvNet + CBL (tensorflow/config/scannet.py:6-153: 20 classes,
+# dl=0.04, in_radius 2.0, same ConvNet recipe)
+register_config(
+    "scannet_conv_cbl",
+    data={"dataset": "scannet", "voxel_size": 0.04, "voxel_max": 65536,
+          "n_points": 65536, "loop": 30, "num_classes": 20},
+    model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
+           "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
+           "contrast_nsample": (36, 24, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 600, "batch_size": 8},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+)
+
+register_config(
+    "scannet_pt_cbl",
+    data={"dataset": "scannet", "voxel_size": 0.04, "voxel_max": 80000,
+          "n_points": 65536, "loop": 30, "num_classes": 20},
+    optim={"base_lr": 0.5, "momentum": 0.9, "weight_decay": 1e-4,
+           "schedule": "multistep", "milestones": (0.6, 0.8),
+           "multiplier": 0.1, "epochs": 200, "batch_size": 16},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+)

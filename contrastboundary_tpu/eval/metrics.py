@@ -65,6 +65,39 @@ def metrics_from_confusion(
     }
 
 
+class Metrics(dict):
+    """Metric dict with ordered comparison: compare by `order` keys in
+    sequence (reference utils/metrics.py:26-117 — used to pick the best
+    snapshot by mIoU then OA)."""
+
+    ORDER = ("mIoU", "OA", "mACC")
+
+    def __init__(self, *args, order=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.order = tuple(order) if order else Metrics.ORDER
+
+    def _key(self):
+        return tuple(float(self.get(k, float("-inf"))) for k in self.order)
+
+    def __lt__(self, other):
+        return self._key() < other._key()
+
+    def __gt__(self, other):
+        return self._key() > other._key()
+
+    def __ge__(self, other):
+        return not self < other
+
+    def __le__(self, other):
+        return not self > other
+
+    def scalar_str(self) -> str:
+        return " ".join(
+            f"{k}={float(v):.4f}" for k, v in self.items()
+            if isinstance(v, (int, float))
+        )
+
+
 class AverageMeter:
     """Running average (reference utils/metrics.py:6-24)."""
 

@@ -35,6 +35,21 @@ def build_dataset(cfg, split: str):
             d.data_root, split=split, test_area=d.test_area,
             loop=d.loop if split == "train" else 1,
         )
+    if d.dataset in ("scannet", "semantic3d", "npm3d"):
+        from .data.datasets import (
+            NPM3DDataset,
+            ScanNetDataset,
+            Semantic3DDataset,
+        )
+
+        cls = {
+            "scannet": ScanNetDataset,
+            "semantic3d": Semantic3DDataset,
+            "npm3d": NPM3DDataset,
+        }[d.dataset]
+        return cls(
+            d.data_root, split=split, loop=d.loop if split == "train" else 1
+        )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 
 
@@ -196,8 +211,22 @@ def train(cfg, logger, exp_dir: str):
         for i, batch in enumerate(it):
             batch.pop("src_idx"), batch.pop("room_idx")
             batch = shard_batch(mesh, batch)
-            state, metrics = train_step(state, batch)
+            if cfg.runtime_freq and (i + 1) % cfg.runtime_freq == 0:
+                from .utils.profiling import trace
+
+                with trace(os.path.join(exp_dir, "traces")):
+                    state, metrics = train_step(state, batch)
+                    import jax as _jax
+
+                    _jax.block_until_ready(metrics["loss"])
+            else:
+                state, metrics = train_step(state, batch)
             n_steps += 1
+            if cfg.debug_nan and not np.isfinite(float(metrics["loss"])):
+                from .train.debug import dump_nan_state
+
+                dump_nan_state(exp_dir, state, batch, metrics, logger)
+                raise FloatingPointError(f"NaN loss at step {int(state.step)}")
             conf = metrics.pop("confusion")
             conf_sum = conf if conf_sum is None else conf_sum + conf
             if (i + 1) % cfg.log_freq == 0:

@@ -1,0 +1,60 @@
+"""NaN debugging: per-variable NaN statistics + reproducer dumps.
+
+Equivalent of the reference's `debug_nan` training mode
+(tensorflow/utils/trainer.py:272-411): when a non-finite loss appears, dump
+the NaN percentage of every parameter / gradient / input tensor and pickle a
+reproducer (batch + params) for offline analysis.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def nan_report(tree: Any, prefix: str = "") -> Dict[str, float]:
+    """Fraction of non-finite entries per leaf (only leaves with any)."""
+    out: Dict[str, float] = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        arr = np.asarray(jax.device_get(leaf))
+        if not np.issubdtype(arr.dtype, np.floating):
+            continue
+        bad = float(np.mean(~np.isfinite(arr)))
+        if bad > 0:
+            name = prefix + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            out[name] = bad
+    return out
+
+
+def dump_nan_state(out_dir: str, state, batch, metrics, logger=None) -> str:
+    """Write nan_report + pickle a reproducer. Returns the dump path."""
+    os.makedirs(out_dir, exist_ok=True)
+    report = {}
+    report.update(nan_report(state.params, "params/"))
+    report.update(nan_report(state.batch_stats, "batch_stats/"))
+    report.update(nan_report(batch, "batch/"))
+    report.update(
+        {f"metric/{k}": float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+    )
+    path = os.path.join(out_dir, "nan_dump.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "report": report,
+                "batch": jax.device_get(batch),
+                "params": jax.device_get(state.params),
+                "step": int(state.step),
+            },
+            f,
+        )
+    log = logger.info if logger else print
+    log(f"NaN detected at step {int(state.step)}; dumped reproducer to {path}")
+    for k, v in sorted(report.items()):
+        log(f"  {k}: {100*v:.2f}% non-finite")
+    return path
