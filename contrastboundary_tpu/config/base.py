@@ -47,6 +47,7 @@ class ModelConfig:
     contrast_nsample: Tuple[int, ...] = (36, 24, 24, 24, 24)
     sampler: str = "bucket_fps"
     dtype: str = "float32"  # float32 | bfloat16
+    save_memory: bool = False  # remat transformer blocks in backward
     # --- convnet family (reference config/s3dis/adapt.yaml defaults) ---
     aggregation: str = "adaptive_weight"  # pospool | adaptive_weight | pointwisemlp | pseudo_grid | identity
     agg_kwargs: Tuple[Tuple[str, Any], ...] = ()
@@ -158,6 +159,7 @@ class Config:
                 share_planes=self.model.share_planes,
                 base_fdim=self.model.base_fdim,
                 use_multihead=self.use_multihead,
+                save_memory=self.model.save_memory,
                 dtype=dtype,
             )
         if self.model.arch == "convnet":
@@ -202,6 +204,36 @@ CONFIGS: Dict[str, Dict[str, Any]] = {}
 
 def register_config(name: str, **overrides):
     CONFIGS[name] = overrides
+
+
+def gen_configs(base_name: str, base: Dict[str, Any], axes: Dict[str, list]):
+    """Cartesian expansion of config axes into named presets — the
+    reference's `gen_config` (tensorflow/config/utils.py:21-53), which turns
+    `_attr_dict` op-string lists into a registry of named configs.
+
+    axes: {dotted.key: [values]}; each combination is registered as
+    `<base_name>_<v1>_<v2>…` (values stringified, '|' and '.' kept — the
+    names ARE the reference's public config ids).
+    """
+    import itertools
+
+    keys = list(axes)
+    names = []
+    for combo in itertools.product(*(axes[k] for k in keys)):
+        suffix = "_".join(str(v) for v in combo if str(v))
+        name = f"{base_name}_{suffix}" if suffix else base_name
+        overrides = {k: dict(v) if isinstance(v, dict) else v for k, v in base.items()}
+        for k, v in zip(keys, combo):
+            if "." in k:
+                head, sub = k.split(".", 1)
+                overrides.setdefault(head, {})
+                overrides[head] = dict(overrides[head])
+                overrides[head][sub] = v
+            else:
+                overrides[k] = v
+        register_config(name, **overrides)
+        names.append(name)
+    return names
 
 
 def load_config(name: str = "default", sets: Optional[str] = None) -> Config:

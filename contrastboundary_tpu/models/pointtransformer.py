@@ -74,10 +74,18 @@ class PointTransformerSeg(nn.Module):
     share_planes: int = 8
     base_fdim: int = 32
     use_multihead: bool = True
+    # rematerialize transformer blocks in backward (the reference's
+    # memory_saving_gradients monkey-patch, tensorflow/main.py:70-72)
+    save_memory: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features, pyramid: Pyramid, train: bool = True) -> ModelOutput:
+        Block = (
+            nn.remat(PointTransformerBlock, static_argnums=(4,))
+            if self.save_memory
+            else PointTransformerBlock
+        )
         p0 = pyramid.points[0]
         x = jnp.concatenate([p0, features], axis=-1).astype(self.dtype)
 
@@ -98,10 +106,10 @@ class PointTransformerSeg(nn.Module):
                     rel=pyramid.down_rel[l],
                 )
             for b in range(1, self.blocks[l]):
-                x = PointTransformerBlock(
+                x = Block(
                     self.planes[l], self.share_planes, dtype=self.dtype,
                     name=f"enc{l}_blk{b}",
-                )(p, x, pyramid.self_idx[l], train, rel=pyramid.self_rel[l])
+                )(p, x, pyramid.self_idx[l], train, pyramid.self_rel[l])
             down_feats.append(x)
 
         # ---- decoder ----
@@ -109,22 +117,22 @@ class PointTransformerSeg(nn.Module):
         x = TransitionUp(
             self.planes[-1], is_head=True, dtype=self.dtype, name=f"dec{num_levels-1}_up"
         )(down_feats[-1], train=train)
-        x = PointTransformerBlock(
+        x = Block(
             self.planes[-1], self.share_planes, dtype=self.dtype,
             name=f"dec{num_levels-1}_blk",
         )(pyramid.points[-1], x, pyramid.self_idx[-1], train,
-          rel=pyramid.self_rel[-1])
+          pyramid.self_rel[-1])
         up_feats[-1] = x
 
         for l in range(num_levels - 2, -1, -1):
             x = TransitionUp(self.planes[l], dtype=self.dtype, name=f"dec{l}_up")(
                 down_feats[l], x, pyramid.up_idx[l + 1], pyramid.up_w[l + 1], train=train
             )
-            x = PointTransformerBlock(
+            x = Block(
                 self.planes[l], self.share_planes, dtype=self.dtype,
                 name=f"dec{l}_blk",
             )(pyramid.points[l], x, pyramid.self_idx[l], train,
-              rel=pyramid.self_rel[l])
+              pyramid.self_rel[l])
             up_feats[l] = x
 
         if self.use_multihead:
