@@ -53,6 +53,11 @@ def _knn_single(
     m, n = query.shape[0], support.shape[0]
     # degenerate tiny clouds: pad the tail with shadows
     k_eff = min(k, n - 1 if exclude_self else n)
+    if k_eff <= 0:  # 1-point cloud with self excluded → all shadow
+        return (
+            jnp.full((m, k), n, jnp.int32),
+            jnp.full((m, k), jnp.inf, jnp.float32),
+        )
     chunk = min(chunk, m)
     num_chunks = -(-m // chunk)
     m_pad = num_chunks * chunk

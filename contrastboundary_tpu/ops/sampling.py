@@ -130,12 +130,21 @@ def voxel_sample(points: jax.Array, m: int, voxel_size: float) -> jax.Array:
     def one(p):
         n = p.shape[0]
         h = voxelize_indices(p, voxel_size)
-        order = jnp.argsort(h, stable=True)
+        order = jnp.argsort(h)
         hs = h[order]
         first = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
         count = jnp.sum(first.astype(jnp.int32))
-        # positions of first-occurrences, packed to the front (stable)
-        first_pos = jnp.argsort(~first, stable=True)
+        # positions of first-occurrences packed to the front, via scatter
+        # (a second argsort here compiles very slowly on the TPU backend);
+        # non-first rows all land in slot n-1, which j never reads since
+        # j < count ≤ n-1 whenever any voxel holds >1 point.
+        rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+        slot = jnp.where(first, rank, n - 1)
+        first_pos = (
+            jnp.zeros((n,), jnp.int32)
+            .at[slot]
+            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
         j = (jnp.arange(m) * count) // m  # in [0, count)
         return order[first_pos[j]].astype(jnp.int32)
 

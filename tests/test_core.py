@@ -89,3 +89,30 @@ def test_boundary_mask_shadow_and_invalid_labels():
     p = np.asarray(plain)[0]
     assert b[0] == 0 and p[0] == 1  # all neighbors invalid → plain
     assert b[2] == 1  # label 1 vs neighbor label 0 → boundary
+
+
+def test_global_pooling(rng):
+    from contrastboundary_tpu.core.pooling import global_avg_pool, global_max_pool
+
+    x = jnp.asarray(rng.randn(2, 6, 3).astype(np.float32))
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
+    avg = np.asarray(global_avg_pool(x, mask))
+    np.testing.assert_allclose(avg[0], np.asarray(x)[0, :3].mean(0), rtol=1e-5)
+    np.testing.assert_allclose(avg[1], np.asarray(x)[1].mean(0), rtol=1e-5)
+    mx = np.asarray(global_max_pool(x, mask))
+    np.testing.assert_allclose(mx[0], np.asarray(x)[0, :3].max(0), rtol=1e-5)
+
+
+def test_normalize_combine(rng):
+    from contrastboundary_tpu.core.pooling import combine, normalize
+
+    x = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    l2 = np.asarray(normalize(x, "l2"))
+    np.testing.assert_allclose(np.linalg.norm(l2, axis=-1), 1.0, rtol=1e-5)
+    sm = np.asarray(normalize(x, "softmax"))
+    np.testing.assert_allclose(sm.sum(-1), 1.0, rtol=1e-5)
+    a, b = jnp.ones((2, 3)), 2 * jnp.ones((2, 3))
+    assert np.asarray(combine([a, b], "sum")).max() == 3
+    assert np.asarray(combine([a, b], "mul")).max() == 2
+    assert combine([a, b], "concat").shape == (2, 6)
+    assert np.asarray(combine([a, b], "max")).min() == 2
