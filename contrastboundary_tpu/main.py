@@ -275,10 +275,49 @@ def validate(cfg, logger, exp_dir: str, model_path: str, extra_ops: str = ""):
     )
 
 
+def check_pipeline(cfg, logger, num_batches: int = 8):
+    """Input-pipeline check harness: runs the batch iterator standalone and
+    reports timing + label/occupancy histograms (the reference's
+    check_input_pipeline_* debug harnesses, e.g.
+    tensorflow/datasets/tf_scannet_dataset.py:534-860)."""
+    from .data import default_train_transform, make_batch_iterator
+
+    ds = build_dataset(cfg, "train")
+    it = make_batch_iterator(
+        ds, cfg.optim.batch_size, cfg.data.n_points, seed=cfg.seed,
+        transform=default_train_transform(), voxel_size=cfg.data.voxel_size,
+        voxel_max=cfg.data.voxel_max,
+    )
+    t0 = time.time()
+    label_counts = np.zeros(cfg.data.num_classes + 1, np.int64)
+    dup_fracs, extents = [], []
+    n = 0
+    for i, batch in enumerate(it):
+        if i >= num_batches:
+            break
+        n += 1
+        lab = batch["labels"]
+        np.add.at(label_counts, np.where(lab >= 0, lab, cfg.data.num_classes).ravel(), 1)
+        for b in range(lab.shape[0]):
+            src = batch["src_idx"][b]
+            dup_fracs.append(1 - len(np.unique(src)) / len(src))
+            extents.append(batch["points"][b].max(0) - batch["points"][b].min(0))
+    dt = (time.time() - t0) / max(n, 1)
+    logger.info(f"pipeline: {dt*1000:.0f} ms/batch (B={cfg.optim.batch_size}, "
+                f"N={cfg.data.n_points})")
+    logger.info(f"duplicate-pad fraction: mean {np.mean(dup_fracs):.3f} "
+                f"max {np.max(dup_fracs):.3f}")
+    ex = np.stack(extents)
+    logger.info(f"crop extent (m): mean {ex.mean(0).round(2)} max {ex.max(0).round(2)}")
+    total = label_counts.sum()
+    hist = " ".join(f"{c}:{100*v/total:.1f}%" for c, v in enumerate(label_counts[:-1]))
+    logger.info(f"label histogram: {hist} ignored:{100*label_counts[-1]/total:.1f}%")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="contrastboundary_tpu")
     parser.add_argument("-c", "--config", default="synthetic_tiny")
-    parser.add_argument("--mode", default="train", choices=["train", "val"])
+    parser.add_argument("--mode", default="train", choices=["train", "val", "check"])
     parser.add_argument("--set", dest="sets", default=None,
                         help="overrides a.b:v;c.d:v")
     parser.add_argument("--model_path", default="auto",
@@ -304,6 +343,8 @@ def main(argv=None):
     np.random.seed(cfg.seed)
     if args.mode == "train":
         train(cfg, logger, exp_dir)
+    elif args.mode == "check":
+        check_pipeline(cfg, logger)
     else:
         validate(cfg, logger, exp_dir, args.model_path, args.extra_ops)
 
