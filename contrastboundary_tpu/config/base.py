@@ -149,6 +149,13 @@ class Config:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             self.model.dtype
         ]
+        multi = self.heads.get("multi", {})
+        head_kw = dict(
+            use_multihead=self.use_multihead,
+            multi_combine=multi.get("combine", "concat"),
+            multi_stages=multi.get("stages"),
+            contrast_project=(self.contrast.project if self.contrast else ""),
+        )
         if self.model.arch == "pointtransformer":
             from ..models import PointTransformerSeg
 
@@ -158,9 +165,9 @@ class Config:
                 blocks=tuple(self.model.blocks),
                 share_planes=self.model.share_planes,
                 base_fdim=self.model.base_fdim,
-                use_multihead=self.use_multihead,
                 save_memory=self.model.save_memory,
                 dtype=dtype,
+                **head_kw,
             )
         if self.model.arch == "convnet":
             from ..models.convnet import ConvNetSeg
@@ -175,9 +182,9 @@ class Config:
                 aggregation=self.model.aggregation,
                 agg_kwargs=tuple(self.model.agg_kwargs),
                 density_parameter=self.model.density_parameter,
-                use_multihead=self.use_multihead,
                 in_features=self.model.in_features,
                 dtype=dtype,
+                **head_kw,
             )
         raise ValueError(f"unknown arch {self.model.arch!r}")
 

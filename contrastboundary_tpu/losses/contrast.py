@@ -42,6 +42,7 @@ class ContrastConfig:
     weight: float = 0.1
     kl_threshold: float = 0.5  # posmask kl variant (config `labelkl.5`)
     stages: Tuple[int, ...] = (0, 1, 2, 3, 4)  # 'Ua' = all up stages
+    project: str = ""  # per-stage projection MLP: '' | linear | mlp | mlp2
 
 
 def subscene_labels(
@@ -198,7 +199,10 @@ def cbl_loss(
     """Full CBL: Σ over configured stages. Returns (total, per-stage dict)."""
     losses = {}
     total = 0.0
-    stages = [i for i in cfg.stages if i < len(latents)]  # 'Ua' = all present
+    # 'Ua' = all present; stages the head didn't compute (None) are skipped
+    stages = [
+        i for i in cfg.stages if i < len(latents) and latents[i] is not None
+    ]
     for i in stages:
         label_soft = subscene_labels(
             labels0, pyramid.subscene_idx[i], num_classes, ignore_label

@@ -340,6 +340,14 @@ def main(argv=None):
     logger = setup_logger(log_file=os.path.join(exp_dir, f"log_{args.mode}.txt"))
     logger.info(f"config {cfg.name}: heads={list(cfg.heads)} exp_dir={exp_dir}")
 
+    from .parallel.distributed import maybe_initialize_distributed
+
+    dist = maybe_initialize_distributed()
+    if dist["process_count"] > 1:
+        logger.info(
+            f"distributed: process {dist['process_index']}/{dist['process_count']}"
+        )
+
     np.random.seed(cfg.seed)
     if args.mode == "train":
         train(cfg, logger, exp_dir)

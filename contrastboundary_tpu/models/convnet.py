@@ -59,6 +59,9 @@ class ConvNetSeg(nn.Module):
     bn_momentum: float = 0.99
     bn_eps: float = 1e-6
     use_multihead: bool = True
+    multi_combine: str = "concat"
+    multi_stages: Tuple[int, ...] = None  # type: ignore[assignment]
+    contrast_project: str = ""
     in_features: str = "1-rgb-Z"  # assembled from points+colors (config in_features_dim=5)
     dtype: Dtype = jnp.float32
 
@@ -158,9 +161,10 @@ class ConvNetSeg(nn.Module):
             up_feats[l] = x
 
         if self.use_multihead:
-            logits, latents = MultiHead(
-                self.num_classes, self.base_fdim, dtype=self.dtype,
-                name="multihead",
+            logits, latents, contrast_feats = MultiHead(
+                self.num_classes, self.base_fdim, combine=self.multi_combine,
+                stages=self.multi_stages, project=self.contrast_project,
+                dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:
             y = self._conv1x1(x, fdim, "seg_head", train)
@@ -168,10 +172,12 @@ class ConvNetSeg(nn.Module):
                 self.num_classes, use_bias=True, dtype=jnp.float32, name="cls"
             )(y)
             latents = tuple()
+            contrast_feats = tuple()
 
         return ModelOutput(
             logits=logits.astype(jnp.float32),
             down_feats=tuple(down_feats),
             up_feats=tuple(up_feats),
             latents=latents,
+            contrast_feats=contrast_feats,
         )

@@ -34,33 +34,70 @@ class ModelOutput:
     down_feats: Tuple
     up_feats: Tuple
     latents: Tuple
+    # features the contrast loss runs on: latents, optionally through the
+    # per-stage projection MLPs (reference head_cfg.project)
+    contrast_feats: Tuple = ()
 
 
 class MultiHead(nn.Module):
-    """Per-up-stage latent towers + k=1 upsample to level 0 + concat + linear
+    """Per-up-stage latent towers + k=1 upsample to level 0 + combine +
     classifier (pytorch/model/heads.py:13-61, config multi-Ua-concat-latent).
+
+    combine 'concat' → linear classifier; 'concatmlp' → Dense+BN+ReLU+Dense
+    (heads.py:38-41). `stages` selects which up stages contribute ('Ua' =
+    all). `project` optionally adds per-stage projection MLPs whose outputs
+    feed the contrast loss (the reference ContrastHead's `project` MLPbyOps,
+    heads.py:88-92): '' off | 'linear' | 'mlp' | 'mlp2'.
     """
 
     num_classes: int
     base_fdim: int = 32
+    combine: str = "concat"
+    stages: Optional[Tuple[int, ...]] = None
+    project: str = ""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, up_feats, pyramid: Pyramid, train: bool = True):
-        latents = []
+        stages = self.stages if self.stages is not None else tuple(
+            range(len(up_feats))
+        )
+        latents: list = [None] * len(up_feats)
+        contrast_feats: list = [None] * len(up_feats)
         collected = []
-        for i, f in enumerate(up_feats):
-            latent = MLPTower(
-                (self.base_fdim,), dtype=self.dtype, name=f"latent{i}"
-            )(f, train)
-            latents.append(latent)
+        d = self.base_fdim
+        for i in stages:
+            latent = MLPTower((d,), dtype=self.dtype, name=f"latent{i}")(
+                up_feats[i], train
+            )
+            latents[i] = latent
+            if self.project == "linear":
+                proj = nn.Dense(d, dtype=self.dtype, name=f"project{i}")(latent)
+            elif self.project == "mlp":
+                proj = MLPTower((d,), dtype=self.dtype, name=f"project{i}")(
+                    latent, train
+                )
+            elif self.project == "mlp2":
+                proj = MLPTower((d, d), dtype=self.dtype, name=f"project{i}")(
+                    latent, train
+                )
+            else:
+                proj = latent
+            contrast_feats[i] = proj
             if i == 0:
                 collected.append(latent)
             else:
                 collected.append(batch_gather(latent, pyramid.near0_idx[i]))
         x = jnp.concatenate(collected, axis=-1)
+        if self.combine.endswith("mlp"):
+            x = nn.Dense(d, dtype=self.dtype, name="cls_fc")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name="cls_bn",
+            )(x)
+            x = nn.relu(x)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(x)
-        return logits, tuple(latents)
+        return logits, tuple(latents), tuple(contrast_feats)
 
 
 class PointTransformerSeg(nn.Module):
@@ -74,6 +111,9 @@ class PointTransformerSeg(nn.Module):
     share_planes: int = 8
     base_fdim: int = 32
     use_multihead: bool = True
+    multi_combine: str = "concat"
+    multi_stages: Optional[Tuple[int, ...]] = None
+    contrast_project: str = ""
     # rematerialize transformer blocks in backward (the reference's
     # memory_saving_gradients monkey-patch, tensorflow/main.py:70-72)
     save_memory: bool = False
@@ -136,8 +176,10 @@ class PointTransformerSeg(nn.Module):
             up_feats[l] = x
 
         if self.use_multihead:
-            logits, latents = MultiHead(
-                self.num_classes, self.base_fdim, dtype=self.dtype, name="multihead"
+            logits, latents, contrast_feats = MultiHead(
+                self.num_classes, self.base_fdim, combine=self.multi_combine,
+                stages=self.multi_stages, project=self.contrast_project,
+                dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:
             y = MLPTower((self.planes[0],), dtype=self.dtype, name="cls_tower")(
@@ -145,10 +187,12 @@ class PointTransformerSeg(nn.Module):
             )
             logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(y)
             latents = tuple()
+            contrast_feats = tuple()
 
         return ModelOutput(
             logits=logits.astype(jnp.float32),
             down_feats=tuple(down_feats),
             up_feats=tuple(up_feats),
             latents=latents,
+            contrast_feats=contrast_feats,
         )

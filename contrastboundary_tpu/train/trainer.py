@@ -50,8 +50,13 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
             total = ce
             metrics = {"ce": ce}
             if cfg.contrast is not None:
+                cfeats = (
+                    out.contrast_feats
+                    if any(f is not None for f in out.contrast_feats)
+                    else out.latents
+                )
                 cb, per_stage = cbl_loss(
-                    out.latents,
+                    cfeats,
                     pyramid,
                     batch["labels"],
                     cfg.num_classes,

@@ -74,3 +74,40 @@ def test_gradients_flow(rng):
     norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(norms))
     assert sum(n > 0 for n in norms) > len(norms) * 0.9  # nearly all params used
+
+
+def test_multihead_project_and_concatmlp(rng):
+    feats, labels, pyr = make_inputs(rng)
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, multi_combine="concatmlp", contrast_project="mlp2",
+    )
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=False)
+    out = model.apply(variables, feats, pyr, train=False)
+    assert out.logits.shape == (2, 64, 5)
+    assert all(f is not None for f in out.contrast_feats)
+    assert all(f.shape[-1] == 8 for f in out.contrast_feats)
+    # projected features differ from the raw latents
+    assert not np.allclose(
+        np.asarray(out.contrast_feats[0]), np.asarray(out.latents[0])
+    )
+
+
+def test_multihead_stage_subset(rng):
+    feats, labels, pyr = make_inputs(rng)
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, multi_stages=(0, 2),
+    )
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=False)
+    out = model.apply(variables, feats, pyr, train=False)
+    assert out.logits.shape == (2, 64, 5)
+    assert out.latents[0] is not None and out.latents[2] is not None
+    assert out.latents[1] is None
+
+    # CBL over 'Ua' silently skips the missing stage
+    from contrastboundary_tpu.losses import ContrastConfig, cbl_loss
+
+    total, per = cbl_loss(out.latents, pyr, labels, 5, ContrastConfig())
+    assert set(per) == {"cbl_stage0", "cbl_stage2"}
+    assert np.isfinite(float(total))
