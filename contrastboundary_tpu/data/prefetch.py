@@ -14,7 +14,8 @@ from typing import Callable, Iterator
 
 
 def prefetch(iterator_factory: Callable[[], Iterator], depth: int = 2) -> Iterator:
-    """Run `iterator_factory()` in a daemon thread, buffering `depth` items."""
+    """Run `iterator_factory()` in a daemon thread, buffering `depth` items.
+    Producer exceptions propagate to the consumer."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
 
@@ -22,8 +23,9 @@ def prefetch(iterator_factory: Callable[[], Iterator], depth: int = 2) -> Iterat
         try:
             for item in iterator_factory():
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(("__prefetch_error__", e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -31,4 +33,6 @@ def prefetch(iterator_factory: Callable[[], Iterator], depth: int = 2) -> Iterat
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+            raise item[1]
         yield item

@@ -125,3 +125,21 @@ def test_batch_iterator_shapes_and_sharding():
     # deterministic across re-instantiation
     again = list(make_batch_iterator(ds, 2, 1024, voxel_size=0.1))
     np.testing.assert_array_equal(batches[0]["points"], again[0]["points"])
+
+
+def test_prefetch_preserves_order_and_items():
+    from contrastboundary_tpu.data.prefetch import prefetch
+
+    items = list(prefetch(lambda: iter(range(20)), depth=2))
+    assert items == list(range(20))
+
+    # producer exceptions propagate to the consumer (no silent hang)
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    got = []
+    with pytest.raises(RuntimeError, match="boom"):
+        for x in prefetch(lambda: bad(), depth=1):
+            got.append(x)
+    assert got == [1]
