@@ -30,6 +30,8 @@ class DataConfig:
     n_points: int = 16384  # static crop size (device shape)
     loop: int = 30
     ignore_label: int = -1
+    crop_mode: str = "count"  # count (PT nearest-N) | radius (TF in_radius sphere)
+    in_radius: float = 2.0
     # synthetic-only
     num_rooms: int = 16
     points_per_room: int = 120_000

@@ -49,7 +49,8 @@ register_config(
 register_config(
     "s3dis_conv_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
-          "n_points": 65536, "loop": 30, "num_classes": 13},
+          "n_points": 65536, "loop": 30, "num_classes": 13,
+          "crop_mode": "radius", "in_radius": 2.0},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},
@@ -63,7 +64,8 @@ register_config(
 register_config(
     "s3dis_conv_cbl_kl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
-          "n_points": 65536, "loop": 30, "num_classes": 13},
+          "n_points": 65536, "loop": 30, "num_classes": 13,
+          "crop_mode": "radius", "in_radius": 2.0},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},
@@ -77,7 +79,8 @@ register_config(
 register_config(
     "s3dis_pospool_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
-          "n_points": 65536, "loop": 30, "num_classes": 13},
+          "n_points": 65536, "loop": 30, "num_classes": 13,
+          "crop_mode": "radius", "in_radius": 2.0},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "pospool",
            "agg_kwargs": (("position_embedding", "sin_cos"),
                           ("reduction", "mean")),
@@ -93,7 +96,8 @@ register_config(
 register_config(
     "s3dis_pseudogrid_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
-          "n_points": 65536, "loop": 30, "num_classes": 13},
+          "n_points": 65536, "loop": 30, "num_classes": 13,
+          "crop_mode": "radius", "in_radius": 2.0},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "pseudo_grid",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},

@@ -51,12 +51,18 @@ def prepare_crop(
     transform=None,
     split: str = "train",
     shuffle: bool = True,
+    crop_mode: str = "count",
+    in_radius: float = 2.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One training/eval sample from a full room.
 
-    train: augment → voxelize (random point per voxel) → crop the `voxel_max`
-    nearest points around a random center → shuffle → zero-min coords,
-    colors/255 (pytorch/util/data_util.py:45-90).
+    train: augment → voxelize (random point per voxel) → crop → shuffle →
+    zero-min coords, colors/255 (pytorch/util/data_util.py:45-90).
+
+    crop_mode 'count' keeps the `voxel_max` nearest points around the center
+    (the PT stack); 'radius' keeps points inside an `in_radius` sphere capped
+    at voxel_max (the TF stack's in_radius=2.0 spheres,
+    tensorflow/config/s3dis.py:57).
     """
     coord = np.asarray(coord, np.float64)
     feat = np.asarray(feat, np.float32)
@@ -70,10 +76,16 @@ def prepare_crop(
         coord, feat, label = coord[idx], feat[idx], label[idx]
 
     n = len(coord)
-    if voxel_max and n > voxel_max:
+    if voxel_max and (n > voxel_max or crop_mode == "radius"):
         center_i = int(rng.integers(n)) if "train" in split else n // 2
         d2 = np.sum((coord - coord[center_i]) ** 2, axis=1)
-        crop = np.argsort(d2)[:voxel_max]
+        if crop_mode == "radius":
+            inside = np.flatnonzero(d2 <= in_radius**2)
+            if len(inside) > voxel_max:
+                inside = inside[np.argsort(d2[inside])[:voxel_max]]
+            crop = inside if len(inside) else np.array([center_i])
+        else:
+            crop = np.argsort(d2)[:voxel_max]
         coord, feat, label = coord[crop], feat[crop], label[crop]
 
     if shuffle:

@@ -188,6 +188,8 @@ def make_batch_iterator(
     split: str = "train",
     shard_index: int = 0,
     num_shards: int = 1,
+    crop_mode: str = "count",
+    in_radius: float = 2.0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-shape batches {points, features, labels, src_idx, room_idx}.
 
@@ -210,6 +212,7 @@ def make_batch_iterator(
                 coord, feat, label, rng,
                 voxel_size=voxel_size, voxel_max=voxel_max,
                 transform=transform, split=split,
+                crop_mode=crop_mode, in_radius=in_radius,
             )
             coord, feat, label, src = pad_to_fixed_size(
                 coord, feat, label, n_points, rng

@@ -204,6 +204,7 @@ def train(cfg, logger, exp_dir: str):
                 train_ds, cfg.optim.batch_size, cfg.data.n_points,
                 seed=cfg.seed, epoch=epoch, transform=transform,
                 voxel_size=cfg.data.voxel_size, voxel_max=cfg.data.voxel_max,
+                crop_mode=cfg.data.crop_mode, in_radius=cfg.data.in_radius,
             ),
             depth=3,
         )

@@ -84,10 +84,16 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
 
 
 def make_eval_step(model, cfg: TrainStepConfig) -> Callable:
-    """Returns jitted (state, batch) → (probs [B,N,C], confusion)."""
+    """Returns jitted (state, batch) → (probs [B,N,C], confusion).
+
+    Inference needs no contrast/sub-scene KNNs — the eval pyramid drops them
+    (the level-0 contrast search is one of the most expensive KNNs)."""
+    eval_spec = dataclasses.replace(
+        cfg.spec, k_contrast=None, with_subscene=False
+    )
 
     def eval_step(state: TrainState, batch):
-        pyramid = build_pyramid(batch["points"], cfg.spec)
+        pyramid = build_pyramid(batch["points"], eval_spec)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["features"],

@@ -143,3 +143,17 @@ def test_prefetch_preserves_order_and_items():
         for x in prefetch(lambda: bad(), depth=1):
             got.append(x)
     assert got == [1]
+
+
+def test_prepare_crop_radius_mode(rng):
+    coord = rng.rand(8000, 3) * 10
+    feat = rng.rand(8000, 3) * 255
+    label = rng.randint(0, 13, 8000)
+    g = np.random.default_rng(0)
+    c, f, l = prepare_crop(
+        coord, feat, label, g, voxel_size=0.04, voxel_max=4000,
+        crop_mode="radius", in_radius=2.0,
+    )
+    # all surviving points within a 2m sphere of some center → extent ≤ 4m
+    assert (c.max(0) - c.min(0)).max() <= 4.0 + 1e-5
+    assert len(c) <= 4000
