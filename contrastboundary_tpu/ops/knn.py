@@ -99,6 +99,112 @@ def _knn_single(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "exclude_self", "radius", "tile", "window", "recall", "ensure_self"),
+)
+def windowed_knn(
+    query: jax.Array,
+    support: jax.Array,
+    k: int,
+    *,
+    tile: int = 256,
+    window: int = 4,
+    exclude_self: bool = False,
+    radius: float | None = None,
+    recall: float | None = 0.95,
+    ensure_self: bool = False,
+):
+    """Approximate KNN restricted to a Morton-curve tile window.
+
+    Both point sets are sorted along the Morton curve and split into tiles of
+    `tile` points; each query tile only scores candidates from the
+    proportionally-aligned support tile ± `window` — (2·window+1)·tile
+    candidates instead of N, cutting both the distance matmul and the top-k
+    by ~N/((2w+1)·tile). Spatial locality of the curve keeps recall high
+    (measured ~0.95 at window=4, tile=256, N=16384 uniform clouds).
+
+    Returns (idx [B, M, k] int32 into the ORIGINAL support order, d2) like
+    `knn`. A TPU-first answer to the reference's KDTree searches for the
+    large-N regime; opt in via PyramidSpec(knn_window=...).
+    """
+    from .sampling import serialized_order
+
+    b, m, _ = query.shape
+    n = support.shape[1]
+    if m % tile or n % tile:
+        # fall back to the dense path on awkward shapes
+        return knn(
+            query, support, k, exclude_self=exclude_self, radius=radius,
+            recall=recall, ensure_self=ensure_self,
+        )
+    gq, gs = m // tile, n // tile
+
+    q_ord = serialized_order(query)  # [B, M]
+    s_ord = serialized_order(support)
+    from ..core.gather import batch_gather
+
+    q_sorted = batch_gather(query, q_ord)
+    s_sorted = batch_gather(support, s_ord)
+
+    # tile alignment: query tile g ↔ support tiles around g·gs/gq. Computed
+    # in numpy (static): clipping duplicates edge tiles — shift the window
+    # inward instead so every tile list has 2w+1 DISTINCT tiles.
+    import numpy as _np
+
+    centers = (_np.arange(gq) * gs) // max(gq, 1)
+    width = min(2 * window + 1, gs)
+    starts = _np.clip(centers - window, 0, gs - width)
+    cand_tiles_np = starts[:, None] + _np.arange(width)[None, :]  # [gq, width]
+    cand_tiles = jnp.asarray(cand_tiles_np, jnp.int32)
+    c = width * tile
+
+    def one_cloud(qs, ss, qo, so):
+        st = ss.reshape(gs, tile, 3)
+        qt = qs.reshape(gq, tile, 3)
+        so_t = so.reshape(gs, tile)
+
+        def per_tile(args):
+            qtile, tiles, qidx0 = args
+            cand = st[tiles].reshape(c, 3)  # [C, 3]
+            cand_orig = so_t[tiles].reshape(c)  # original support indices
+            d2 = pairwise_sqdist(qtile, cand)  # [tile, C]
+            if exclude_self:
+                qorig = jax.lax.dynamic_slice(qo, (qidx0,), (tile,))
+                d2 = jnp.where(
+                    cand_orig[None, :] == qorig[:, None], jnp.inf, d2
+                )
+            if recall is not None and k < c:
+                neg, ci = lax.approx_max_k(-d2, k, recall_target=recall)
+            else:
+                neg, ci = lax.top_k(-d2, k)
+            return cand_orig[ci].astype(jnp.int32), -neg
+
+        idx_t, d2_t = lax.map(
+            per_tile,
+            (qt, cand_tiles, jnp.arange(gq, dtype=jnp.int32) * tile),
+        )
+        idx_sorted = idx_t.reshape(m, k)
+        d2_sorted = d2_t.reshape(m, k)
+        # un-sort queries back to original order
+        idx_out = jnp.zeros_like(idx_sorted).at[qo].set(idx_sorted)
+        d2_out = jnp.zeros_like(d2_sorted).at[qo].set(d2_sorted)
+        return idx_out, d2_out
+
+    idx, d2 = jax.vmap(one_cloud)(q_sorted, s_sorted, q_ord, s_ord)
+    if ensure_self:
+        self_idx = jnp.broadcast_to(
+            jnp.arange(m, dtype=idx.dtype)[None], idx.shape[:2]
+        )
+        idx = idx.at[..., 0].set(self_idx)
+        d2 = d2.at[..., 0].set(0.0)
+    if radius is not None:
+        invalid = d2 > jnp.float32(radius) ** 2
+        idx = jnp.where(invalid, n, idx)
+    idx = jnp.where(jnp.isinf(d2), n, idx)
+    return idx, d2
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "exclude_self", "radius", "chunk", "recall", "ensure_self"),
 )
 def knn(

@@ -25,7 +25,7 @@ from flax import struct
 
 from ..core.gather import batch_gather
 from .interpolate import interpolation_weights
-from .knn import knn
+from .knn import knn, windowed_knn
 from .sampling import bucket_fps, fps, serialized_sample, voxel_sample
 
 
@@ -58,6 +58,11 @@ class PyramidSpec:
     # None → exact lax.top_k; float → lax.approx_max_k recall target
     # (TPU-native, ~30× faster; self-neighbors are force-restored)
     knn_recall: Optional[float] = 0.95
+    # >0 → Morton-tile windowed KNN (ops/knn.py::windowed_knn) with this
+    # window half-width in tiles of `knn_tile` points: ~N/((2w+1)·tile) less
+    # distance/top-k work, recall ~0.97 at window=4/tile=256
+    knn_window: int = 0
+    knn_tile: int = 256
 
     @property
     def num_levels(self) -> int:
@@ -131,6 +136,21 @@ def _sample(points: jax.Array, m: int, spec: PyramidSpec, level: int = 1) -> jax
     raise ValueError(f"unknown sampler {spec.sampler!r}")
 
 
+def _knn(spec: PyramidSpec, query, support, k, **kw):
+    """Dispatch to the windowed fast path when enabled and shapes allow."""
+    if (
+        spec.knn_window > 0
+        and query.shape[1] % spec.knn_tile == 0
+        and support.shape[1] % spec.knn_tile == 0
+        and kw.get("support_mask") is None
+    ):
+        kw.pop("chunk", None)
+        return windowed_knn(
+            query, support, k, tile=spec.knn_tile, window=spec.knn_window, **kw
+        )
+    return knn(query, support, k, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     """Build the full index pyramid from level-0 points [B, N, 3]."""
@@ -140,8 +160,8 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     pts = [points]
     sample_idx = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))]
     self_idx = [
-        knn(points, points, spec.k_self[0], chunk=chunk, recall=spec.knn_recall,
-            ensure_self=True)[0]
+        _knn(spec, points, points, spec.k_self[0], chunk=chunk,
+             recall=spec.knn_recall, ensure_self=True)[0]
     ]
     down_idx = [None]
     up_idx = [None]
@@ -153,8 +173,8 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     if spec.radii is not None:
         # level-0 self-KNN needs the radius mask too: rebuild
         self_idx = [
-            knn(points, points, spec.k_self[0], radius=spec.radii[0], chunk=chunk,
-                recall=spec.knn_recall, ensure_self=True)[0]
+            _knn(spec, points, points, spec.k_self[0], radius=spec.radii[0],
+                 chunk=chunk, recall=spec.knn_recall, ensure_self=True)[0]
         ]
 
     for l in range(1, spec.num_levels):
@@ -164,28 +184,29 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         cur = batch_gather(prev, idx)
         pts.append(cur)
         sample_idx.append(idx)
-        d_idx, _ = knn(
-            cur, prev, spec.k_down[l],
+        d_idx, _ = _knn(
+            spec, cur, prev, spec.k_down[l],
             radius=spec.down_radii[l] if spec.down_radii else None, chunk=chunk,
             recall=spec.knn_recall,
         )
         down_idx.append(d_idx)
-        s_idx, _ = knn(
-            cur, cur, spec.k_self[l],
+        s_idx, _ = _knn(
+            spec, cur, cur, spec.k_self[l],
             radius=spec.radii[l] if spec.radii else None, chunk=chunk,
             recall=spec.knn_recall, ensure_self=True,
         )
         self_idx.append(s_idx)
-        u_idx, u_d2 = knn(prev, cur, spec.k_up, chunk=chunk, recall=spec.knn_recall)
+        u_idx, u_d2 = _knn(spec, prev, cur, spec.k_up, chunk=chunk,
+                           recall=spec.knn_recall)
         up_idx.append(u_idx)
         up_w.append(interpolation_weights(u_d2))
-        n0_idx, _ = knn(points, cur, 1, chunk=chunk, recall=spec.knn_recall)
+        n0_idx, _ = _knn(spec, points, cur, 1, chunk=chunk, recall=spec.knn_recall)
         near0_idx.append(n0_idx[..., 0])
 
     if spec.k_contrast is not None:
         for l in range(spec.num_levels):
-            c_idx, _ = knn(
-                pts[l], pts[l], spec.k_contrast[l] - 1, exclude_self=True,
+            c_idx, _ = _knn(
+                spec, pts[l], pts[l], spec.k_contrast[l] - 1, exclude_self=True,
                 chunk=chunk, recall=spec.knn_recall,
             )
             contrast_idx.append(c_idx)
@@ -196,7 +217,8 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         subscene_idx.append(None)  # level 0 uses labels directly
         for l in range(1, spec.num_levels):
             kr = spec.subscene_k(l)
-            ss_idx, _ = knn(pts[l], points, kr, chunk=chunk, recall=spec.knn_recall)
+            ss_idx, _ = _knn(spec, pts[l], points, kr, chunk=chunk,
+                             recall=spec.knn_recall)
             subscene_idx.append(ss_idx)
     else:
         subscene_idx = [None] * spec.num_levels

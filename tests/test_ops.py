@@ -143,3 +143,45 @@ class TestVoxel:
             jnp.asarray(p), voxel_size=0.1, max_voxels=32
         )
         assert np.asarray(mask).sum() <= 32
+
+
+class TestWindowedKNN:
+    def test_recall_and_exactness_at_full_window(self, rng):
+        from contrastboundary_tpu.ops.knn import windowed_knn
+
+        p = jnp.asarray(rng.rand(1, 1024, 3).astype(np.float32))
+        ei, ed = knn(p, p, 8)
+        # window covering the whole cloud → exact distances
+        wi, wd = windowed_knn(p, p, 8, tile=128, window=8, recall=None)
+        np.testing.assert_allclose(np.asarray(wd), np.asarray(ed), rtol=1e-4, atol=1e-5)
+        # small window: high recall
+        wi4, _ = windowed_knn(p, p, 8, tile=128, window=2, recall=None)
+        rec = np.mean([
+            len(set(np.asarray(ei)[0, i]) & set(np.asarray(wi4)[0, i])) / 8
+            for i in range(0, 1024, 13)
+        ])
+        assert rec > 0.9
+
+    def test_self_and_exclude(self, rng):
+        from contrastboundary_tpu.ops.knn import windowed_knn
+
+        p = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
+        wi, wd = windowed_knn(p, p, 6, tile=128, window=1, ensure_self=True, recall=None)
+        assert (np.asarray(wi)[0, :, 0] == np.arange(512)).all()
+        wi2, _ = windowed_knn(p, p, 6, tile=128, window=1, exclude_self=True, recall=None)
+        assert (np.asarray(wi2)[0] != np.arange(512)[:, None]).all()
+
+    def test_pyramid_windowed(self, rng):
+        from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+
+        spec = PyramidSpec(
+            strides=(1, 4), k_self=(8, 8), k_down=(8, 8),
+            sampler="serialized", knn_window=2, knn_tile=128,
+        )
+        p = jnp.asarray(rng.rand(1, 1024, 3).astype(np.float32))
+        pyr = build_pyramid(p, spec)
+        assert pyr.self_idx[0].shape == (1, 1024, 8)
+        # level-1 (256 pts) falls back to dense path (not divisible by 128? it is) —
+        # either way results must be valid indices
+        assert int(np.asarray(pyr.self_idx[1]).max()) <= 256
+        assert (np.asarray(pyr.self_idx[0])[0, :, 0] == np.arange(1024)).all()

@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from contrastboundary_tpu.data import SyntheticSceneDataset
+from contrastboundary_tpu.eval.voting import CloudVoteState, VotingEvaluator
+
+
+class OracleDataset(SyntheticSceneDataset):
+    pass
+
+
+def test_cloud_vote_state_coverage(rng):
+    coord = rng.rand(500, 3).astype(np.float32)
+    cs = CloudVoteState(coord, coord, np.zeros(500, np.int32), 3)
+    seen = np.zeros(500, bool)
+    for _ in range(30):
+        idx = cs.next_crop(64)
+        seen[idx] = True
+        if cs.min_potential() > 1.0:
+            break
+    assert seen.all()  # potentials force full coverage
+    assert cs.min_potential() > 0
+
+
+def test_voting_evaluator_oracle():
+    """An oracle predictor (reads true labels) must reach ~perfect mIoU —
+    covers crop generation, accumulation, smoothing and reprojection."""
+    ds = OracleDataset(num_rooms=2, points_per_room=6000, split="val")
+    state = {}
+
+    def predict(batch):
+        # match each crop point back to its cloud by nearest lookup
+        out = []
+        for b in range(batch["points"].shape[0]):
+            pts = batch["points"][b]
+            best = None
+            for cs in ev.clouds:
+                # crops are zero-min shifted; try aligning to each cloud
+                d, idx = cs.tree.query(pts + cs._last_min if hasattr(cs, "_last_min") else pts, k=1)
+                cand = (d.mean(), cs, idx)
+                if best is None or cand[0] < best[0]:
+                    best = cand
+            _, cs, idx = best
+            onehot = np.eye(13, dtype=np.float32)[cs.label[idx]]
+            out.append(onehot * 0.94 + 0.03)
+        return np.stack(out)
+
+    ev = VotingEvaluator(
+        ds, predict, num_classes=13, n_points=512, batch_size=2,
+        voxel_size=0.1, num_votes=0.5, smooth=0.95, seed=0,
+    )
+    # crops are shifted to zero-min inside _make_batch; for the oracle we
+    # need the original frame — disable the shift
+    ev._make_batch = lambda crops: {
+        "points": np.stack([c.coord[i] for c, i in crops]),
+        "features": np.stack([c.feat[i] for c, i in crops]),
+    }
+    m = ev.run(max_steps=400)
+    assert m["sub"]["mIoU"] > 0.95
+    assert m["full"]["OA"] > 0.9
+
+
+def test_voting_evaluator_smoothing_converges(rng):
+    """Repeated identical votes converge the accumulator to the vote."""
+    coord = rng.rand(100, 3).astype(np.float32)
+    cs = CloudVoteState(coord, coord, np.zeros(100, np.int32), 2)
+    probs = np.tile([0.2, 0.8], (100, 1)).astype(np.float32)
+    idx = np.arange(100)
+    for _ in range(50):
+        cs.accumulate(idx, probs, smooth=0.95)
+    np.testing.assert_allclose(cs.probs, probs, atol=0.1)
+    assert (cs.predictions() == 1).all()
