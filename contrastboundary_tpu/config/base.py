@@ -125,17 +125,23 @@ class Config:
         if m.arch == "convnet":
             nl = len(m.strides)
             radii = tuple(m.base_radius * 2**i for i in range(nl))
+            limits = tuple(m.neighborhood_limits[:nl])
+            # pooling (level l-1 → l) uses the SOURCE-level radius and cap
+            # (reference kr_sample = kr_search[:-1] and neighborhood_limits at
+            # the source stage, tensorflow/datasets/base.py:797-799):
+            # down_radii[l]/k_down[l] apply to the search at slot l, so shift.
+            down_radii = (radii[0],) + radii[:-1]
+            k_down = (limits[0],) + limits[:-1]
             return PyramidSpec(
                 strides=tuple(m.strides),
-                k_self=tuple(m.neighborhood_limits[:nl]),
-                k_down=tuple(m.neighborhood_limits[:nl]),
+                k_self=limits,
+                k_down=k_down,
                 k_contrast=tuple(m.contrast_nsample) if self.contrast else None,
                 with_subscene=self.contrast is not None,
                 sampler=m.sampler,
                 knn_window=m.knn_window,
                 radii=radii,
-                # pooling uses the source-level radius (reference kr_sample)
-                down_radii=radii,
+                down_radii=down_radii,
                 voxel_sizes=tuple(
                     self.data.voxel_size * 2**i for i in range(nl)
                 ),

@@ -39,6 +39,15 @@ class CloudVoteState:
     def min_potential(self) -> float:
         return float(self.potentials.min())
 
+    def reset_potentials(self):
+        """New vote round: fresh coverage potentials, accumulated probs kept
+        (the reference's running vote across validation rounds,
+        tensorflow/utils/tester.py:101-148)."""
+        self.potentials = (
+            np.random.RandomState(42).rand(len(self.coord)).astype(np.float64)
+            * 1e-3
+        )
+
     def next_crop(self, n_points: int):
         """Pick the min-potential point as center, crop its n_points nearest,
         bump potentials with Tukey weights (1 − d²/r²)²."""
@@ -122,6 +131,10 @@ class VotingEvaluator:
         mins = pts.min(axis=1, keepdims=True)
         return {"points": pts - mins, "features": fts}
 
+    def reset_potentials(self):
+        for c in self.clouds:
+            c.reset_potentials()
+
     def run(self, max_steps: int = 10_000, progress: Optional[Callable] = None):
         """Vote until min potential > num_votes everywhere. Returns metrics
         dict (sub-cloud and reprojected full-cloud)."""
@@ -155,8 +168,10 @@ class VotingEvaluator:
         conf_full = np.zeros((c, c), np.float64)
         for cs, full_label, proj in zip(self.clouds, self.full_labels, self.proj):
             pred = cs.predictions()
-            np.add.at(conf_sub, (cs.label, pred), 1)
-            np.add.at(conf_full, (full_label, pred[proj]), 1)
+            vs = cs.label >= 0  # ignore-labeled points excluded (label -1)
+            np.add.at(conf_sub, (cs.label[vs], pred[vs]), 1)
+            vf = full_label >= 0
+            np.add.at(conf_full, (full_label[vf], pred[proj][vf]), 1)
         out = {
             "sub": metrics_from_confusion(conf_sub),
             "full": metrics_from_confusion(conf_full),

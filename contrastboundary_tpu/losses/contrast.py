@@ -82,11 +82,11 @@ def _posmask_kl(label_soft, nb_label_soft, threshold):
     return kl < threshold
 
 
-def _dist(cfg: ContrastConfig, f, nb_f):
+def _dist(cfg: ContrastConfig, f, nb_f, pre_normalized: bool = False):
     """Distance [B, M, K] between each point and its neighbors.
     l2 matches pytorch/model/heads.py:116-119 (eps inside sqrt)."""
     if cfg.dist in ("l2", "norml2", "l2square"):
-        if cfg.dist == "norml2":
+        if cfg.dist == "norml2" and not pre_normalized:
             f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), EPS)
             nb_f = nb_f / jnp.maximum(
                 jnp.linalg.norm(nb_f, axis=-1, keepdims=True), EPS
@@ -167,17 +167,23 @@ def cbl_stage_loss(
     nb_label = nb[..., : label_soft.shape[-1]]
     nb_feat = nb[..., label_soft.shape[-1] :].astype(features.dtype)
 
+    # ignore-labeled points carry all-zero soft labels (subscene_labels):
+    # exclude them as centers AND as neighbors (the reference's ignored-label
+    # validity masks, tensorflow/models/heads/head.py:541-544)
+    center_valid = jnp.sum(label_soft, axis=-1) > 0  # [B, M]
+    valid = valid & (jnp.sum(nb_label, axis=-1) > 0)
+
     posmask = _posmask_cnt(label_soft, nb_label)
     validf = valid.astype(jnp.float32)
     pos_cnt = jnp.sum(posmask * validf, axis=-1)
     valid_cnt = jnp.sum(validf, axis=-1)
-    point_mask = (pos_cnt > 0) & (pos_cnt < valid_cnt)
+    point_mask = (pos_cnt > 0) & (pos_cnt < valid_cnt) & center_valid
 
     if cfg.pos == "kl":
         posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
     posmask = posmask.astype(jnp.float32) * validf
 
-    dist = _dist(cfg, features, nb_feat)
+    dist = _dist(cfg, features, nb_feat, pre_normalized=(cfg.dist == "norml2"))
     if cfg.contrast == "softnn":
         loss = _contrast_softnn(cfg, dist, posmask, validf)
     elif cfg.contrast == "nce":

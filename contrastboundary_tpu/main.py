@@ -115,30 +115,44 @@ def setup(cfg, logger):
 
 def run_eval(
     cfg, model, step_cfg, state, mesh, logger,
-    num_votes=None, extra_ops: str = "", h5_path: str = "",
+    num_votes=None, extra_ops: str = "", h5_path: str = "", ctx=None,
 ):
+    """Voting evaluation. Pass a dict as `ctx` to cache the jitted eval step,
+    the val dataset and the evaluator across calls — repeated evals then skip
+    recompilation/KDTree rebuilds and accumulate probs across rounds (the
+    reference's running vote, tensorflow/utils/tester.py:101-148)."""
     import jax
 
     from .eval.voting import VotingEvaluator
     from .parallel import shard_batch
     from .train import make_eval_step
 
-    eval_step = make_eval_step(model, step_cfg)
-    val_ds = build_dataset(cfg, "val")
+    ctx = ctx if ctx is not None else {}
+    if "eval_step" not in ctx:
+        ctx["eval_step"] = make_eval_step(model, step_cfg)
+        ctx["val_ds"] = build_dataset(cfg, "val")
+    eval_step = ctx["eval_step"]
+    ctx["state"] = state  # current params for the cached predict closure
 
     def predict(batch):
         b = dict(batch)
         b["labels"] = np.zeros(b["points"].shape[:2], np.int32)
         b = shard_batch(mesh, b)
-        probs, _ = eval_step(state, {k: b[k] for k in ("points", "features", "labels")})
+        probs, _ = eval_step(
+            ctx["state"], {k: b[k] for k in ("points", "features", "labels")}
+        )
         return jax.device_get(probs)
 
-    ev = VotingEvaluator(
-        val_ds, predict, cfg.data.num_classes, cfg.data.n_points,
-        batch_size=cfg.eval.batch_size, voxel_size=cfg.data.voxel_size,
-        num_votes=num_votes if num_votes is not None else cfg.eval.num_votes,
-        smooth=cfg.eval.smooth, seed=cfg.seed,
-    )
+    if "evaluator" not in ctx:
+        ctx["evaluator"] = VotingEvaluator(
+            ctx["val_ds"], predict, cfg.data.num_classes, cfg.data.n_points,
+            batch_size=cfg.eval.batch_size, voxel_size=cfg.data.voxel_size,
+            num_votes=num_votes if num_votes is not None else cfg.eval.num_votes,
+            smooth=cfg.eval.smooth, seed=cfg.seed,
+        )
+    ev = ctx["evaluator"]
+    ev.predict_fn = predict
+    ev.reset_potentials()
     m = ev.run(progress=lambda s, p: logger.info(f"  vote step {s}, min_pot {p:.2f}"))
     logger.info(
         f"val: sub mIoU {m['sub']['mIoU']:.4f} OA {m['sub']['OA']:.4f} "
@@ -192,6 +206,12 @@ def train(cfg, logger, exp_dir: str):
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
     transform = default_train_transform()
     best_miou = -1.0
+    eval_ctx: dict = {}  # caches eval step/dataset/evaluator across epochs
+    # per-host input shards (multi-host: each process preprocesses only its
+    # share; NOTE multi-host device placement additionally needs
+    # make_array_from_process_local_data in shard_batch — single-controller
+    # multi-chip is fully supported, multi-process is wired at the data level)
+    proc_idx, proc_cnt = jax.process_index(), jax.process_count()
 
     for epoch in range(cfg.optim.epochs):
         t0 = time.time()
@@ -205,6 +225,7 @@ def train(cfg, logger, exp_dir: str):
                 seed=cfg.seed, epoch=epoch, transform=transform,
                 voxel_size=cfg.data.voxel_size, voxel_max=cfg.data.voxel_max,
                 crop_mode=cfg.data.crop_mode, in_radius=cfg.data.in_radius,
+                shard_index=proc_idx, num_shards=proc_cnt,
             ),
             depth=3,
         )
@@ -249,7 +270,7 @@ def train(cfg, logger, exp_dir: str):
         )
 
         if (epoch + 1) % cfg.eval.eval_freq == 0 or epoch == cfg.optim.epochs - 1:
-            m = run_eval(cfg, model, step_cfg, state, mesh, logger)
+            m = run_eval(cfg, model, step_cfg, state, mesh, logger, ctx=eval_ctx)
             miou = m["full"]["mIoU"]
             is_best = miou > best_miou
             best_miou = max(best_miou, miou)

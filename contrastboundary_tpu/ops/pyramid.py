@@ -161,6 +161,7 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     sample_idx = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))]
     self_idx = [
         _knn(spec, points, points, spec.k_self[0], chunk=chunk,
+             radius=spec.radii[0] if spec.radii else None,
              recall=spec.knn_recall, ensure_self=True)[0]
     ]
     down_idx = [None]
@@ -169,13 +170,6 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     near0_idx = [sample_idx[0]]
     contrast_idx = []
     subscene_idx = []
-
-    if spec.radii is not None:
-        # level-0 self-KNN needs the radius mask too: rebuild
-        self_idx = [
-            _knn(spec, points, points, spec.k_self[0], radius=spec.radii[0],
-                 chunk=chunk, recall=spec.knn_recall, ensure_self=True)[0]
-        ]
 
     for l in range(1, spec.num_levels):
         prev = pts[l - 1]

@@ -58,10 +58,12 @@ def _voxel_single(p, feats, labels, voxel_size, max_voxels, num_classes):
     out_l = None
     if labels is not None:
         ls = labels[order]
-        oh = jax.nn.one_hot(ls, num_classes, dtype=jnp.float32)
+        oh = jax.nn.one_hot(ls, num_classes, dtype=jnp.float32)  # -1 → zeros
         votes = jax.ops.segment_sum(oh, seg, num_seg)[:max_voxels]
         out_l = jnp.argmax(votes, axis=-1).astype(jnp.int32)
-        out_l = jnp.where(cnt > 0, out_l, -1)
+        # empty slots AND voxels whose members are all ignore-labeled → -1
+        # (matches native/_grid_subsample_np)
+        out_l = jnp.where(jnp.sum(votes, axis=-1) > 0, out_l, -1)
 
     mask = cnt > 0
     return out_p, out_f, out_l, mask

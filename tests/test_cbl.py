@@ -141,3 +141,23 @@ def test_cross_entropy_ignore(rng):
             if labels[b, i] >= 0:
                 vals.append(-lp[b, i, labels[b, i]])
     np.testing.assert_allclose(ce, np.mean(vals), rtol=1e-5)
+
+
+def test_cbl_ignore_label_center_excluded(rng):
+    """Ignore-labeled centers (all-zero soft labels) must not contribute:
+    flipping an ignored point's features must not change the loss."""
+    m, c = 32, 6
+    pts = rng.rand(1, m, 3).astype(np.float32)
+    labels = (pts[0, :, 0] > 0.5).astype(np.int64)
+    labels[:5] = -1  # ignored
+    soft = subscene_labels(jnp.asarray(labels[None]), None, num_classes=3)
+    assert float(jnp.sum(soft[0, :5])) == 0.0
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), 9, exclude_self=True)
+    cfg = ContrastConfig(weight=1.0)
+    feats = rng.randn(1, m, c).astype(np.float32)
+    l1 = float(cbl_stage_loss(jnp.asarray(feats), idx, soft, cfg))
+    feats2 = feats.copy()
+    feats2[0, 0] += 100.0  # ignored center: a valid neighbor may still gather
+    # it, but as a neighbor it's excluded from pos AND denominator too
+    l2 = float(cbl_stage_loss(jnp.asarray(feats2), idx, soft, cfg))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)

@@ -70,3 +70,28 @@ def test_voting_evaluator_smoothing_converges(rng):
         cs.accumulate(idx, probs, smooth=0.95)
     np.testing.assert_allclose(cs.probs, probs, atol=0.1)
     assert (cs.predictions() == 1).all()
+
+
+def test_metrics_exclude_ignore_labels(rng):
+    coord = rng.rand(200, 3).astype(np.float32)
+    labels = (coord[:, 0] > 0.5).astype(np.int32)
+    labels[:50] = -1
+    ds = None
+
+    class Dummy:
+        num_rooms = 1
+
+        def room(self, i):
+            return coord.astype(np.float64), np.zeros_like(coord), labels.astype(np.int64)
+
+    def predict(batch):
+        return np.tile([0.9, 0.1], (batch["points"].shape[0], batch["points"].shape[1], 1)).astype(np.float32)
+
+    ev = VotingEvaluator(Dummy(), predict, 2, n_points=64, batch_size=1,
+                         voxel_size=0.0, num_votes=0.2, seed=0)
+    ev.run(max_steps=50)
+    m = ev.metrics()
+    # all predictions are class 0; confusion must count only valid labels
+    total = m["sub"]["confusion"].sum()
+    assert total <= (labels >= 0).sum()
+    assert m["sub"]["confusion"][:, 1].sum() == 0  # nothing predicted as 1
