@@ -35,6 +35,7 @@ class DataConfig:
     # synthetic-only
     num_rooms: int = 16
     points_per_room: int = 120_000
+    ignore_fraction: float = 0.0
 
 
 @dataclasses.dataclass

@@ -36,7 +36,9 @@ def parse_stage(spec: str, num_layers: int) -> List[Tuple[str, int]]:
 
 
 _WEIGHT_RE = re.compile(r"^w(\d*\.?\d+)$")
-_TEMP_RE = re.compile(r"^T(\d*\.?\d+)$")
+# temperature: 'T1' or the reference's margin/temperature token 'mT.5'/'mT2'
+# (tensorflow/config/s3dis.py:151-157 op-strings like '...-l2-mT.5-w.1')
+_TEMP_RE = re.compile(r"^m?T(\d*\.?\d+)$")
 _LABELKL_RE = re.compile(r"^labelkl(\d*\.?\d+)?$")
 
 

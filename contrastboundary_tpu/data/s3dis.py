@@ -91,11 +91,15 @@ class SyntheticSceneDataset:
         seed: int = 0,
         split: str = "train",
         loop: int = 1,
+        ignore_fraction: float = 0.0,
     ):
         self.num_rooms_ = num_rooms
         self.points_per_room = points_per_room
         self.seed = seed if split == "train" else seed + 10_000
         self.loop = loop
+        # fraction of points with label -1 (exercises the ignore paths the
+        # ScanNet/Semantic3D remaps produce)
+        self.ignore_fraction = ignore_fraction
         self._cache: Dict[int, tuple] = {}
 
     def __len__(self):
@@ -172,6 +176,9 @@ class SyntheticSceneDataset:
         label = np.concatenate(labels)
         color = self.CLASS_COLORS[label] + rng.standard_normal((len(label), 3)) * 12
         color = np.clip(color, 0, 255).astype(np.float32)
+        if self.ignore_fraction > 0:
+            drop = rng.random(len(label)) < self.ignore_fraction
+            label = np.where(drop, -1, label)
         self._cache[i] = (coord, color, label)
         return coord.copy(), color.copy(), label.copy()
 

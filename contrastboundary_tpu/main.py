@@ -29,6 +29,7 @@ def build_dataset(cfg, split: str):
             seed=cfg.seed,
             split=split,
             loop=d.loop if split == "train" else 1,
+            ignore_fraction=d.ignore_fraction,
         )
     if d.dataset == "s3dis":
         return S3DISDataset(

@@ -52,3 +52,33 @@ def test_prepare_s3dis(tmp_path, rng):
 
     # idempotent: second run converts nothing
     assert prepare_s3dis(str(tmp_path / "raw"), str(out), verbose=False) == []
+
+
+def test_rasterize_mesh(rng):
+    from contrastboundary_tpu.utils.mesh import face_areas, rasterize_mesh
+
+    # unit right triangle in the z=0 plane + one vertical triangle
+    vertices = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64
+    )
+    faces = np.array([[0, 1, 2], [0, 1, 3]])
+    areas = face_areas(vertices, faces)
+    np.testing.assert_allclose(areas, [0.5, 0.5], rtol=1e-6)
+
+    attrs = np.array([[0.0], [1.0], [2.0], [3.0]])
+    labels = np.array([5, 7])
+    g = np.random.default_rng(0)
+    pts, a, l = rasterize_mesh(
+        vertices, faces, density=4000, vertex_attrs=attrs, face_labels=labels,
+        rng=g,
+    )
+    n_sampled = len(pts) - len(vertices)
+    assert 3400 < n_sampled < 4600  # ~density·area = 4000 expected
+    # samples on face 0 lie in z=0; labels match faces
+    f0 = l[:n_sampled] == 5
+    assert np.abs(pts[:n_sampled][f0][:, 2]).max() < 1e-6
+    assert set(np.unique(l[:n_sampled])) == {5, 7}
+    # attrs stay within the vertex-attr hull
+    assert a.min() >= -1e-6 and a.max() <= 3 + 1e-6
+    # vertices appended with a containing face's label
+    assert l[-4] in (5, 7)
