@@ -77,6 +77,8 @@ def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
             kw["temperature"] = float(_TEMP_RE.match(t).group(1))
         elif t.startswith("proj"):
             kw["project"] = t[4:] or "mlp"
+        elif t in ("nst", "max", "soft"):
+            kw["label_infer"] = t
         elif re.match(r"^[UDud]?[0-9a]+$", t):
             stages = tuple(i for _, i in parse_stage(t, num_layers))
         else:

@@ -43,6 +43,10 @@ class ContrastConfig:
     kl_threshold: float = 0.5  # posmask kl variant (config `labelkl.5`)
     stages: Tuple[int, ...] = (0, 1, 2, 3, 4)  # 'Ua' = all up stages
     project: str = ""  # per-stage projection MLP: '' | linear | mlp | mlp2
+    # sub-scene label inference: 'soft' mean one-hot over kr (default),
+    # 'nst' nearest-1 one-hot (TF head.py:83-91), 'max' argmax of the mean
+    # distribution (TF head.py:127-128, hard labels)
+    label_infer: str = "soft"
 
 
 def subscene_labels(
@@ -50,11 +54,17 @@ def subscene_labels(
     subscene_idx: Optional[jax.Array],
     num_classes: int,
     ignore_label: int = -1,
+    infer: str = "soft",
 ) -> jax.Array:
-    """Soft (mean one-hot) labels of downsampled points.
+    """Labels of downsampled points, inferred from level-0 neighbors.
 
     labels0 [B, N0] int; subscene_idx [B, M, kr] indices into level 0 (None →
     level 0 itself: plain one-hot). Ignored labels contribute a zero row.
+
+    infer: 'soft' = mean one-hot distribution (the flagship,
+    pytorch/model/basic_operators.py:43); 'nst' = nearest-1 one-hot
+    (tensorflow/models/heads/head.py:83-91); 'max' = argmax of the mean
+    (head.py:127-128) — hard one-hot unless all neighbors ignored.
     """
     valid = labels0 != ignore_label
     safe = jnp.where(valid, labels0, 0)
@@ -62,8 +72,17 @@ def subscene_labels(
     onehot = onehot * valid[..., None]
     if subscene_idx is None:
         return onehot
+    if infer == "nst":
+        return batch_gather(onehot, subscene_idx[..., 0])
     nb = batch_gather(onehot, subscene_idx)  # [B, M, kr, ncls]
-    return jnp.mean(nb, axis=-2)
+    soft = jnp.mean(nb, axis=-2)
+    if infer == "max":
+        any_valid = jnp.sum(soft, axis=-1, keepdims=True) > 0
+        hard = jax.nn.one_hot(
+            jnp.argmax(soft, -1), num_classes, dtype=jnp.float32
+        )
+        return hard * any_valid
+    return soft
 
 
 def _posmask_cnt(label_soft, nb_label_soft):
@@ -211,7 +230,8 @@ def cbl_loss(
     ]
     for i in stages:
         label_soft = subscene_labels(
-            labels0, pyramid.subscene_idx[i], num_classes, ignore_label
+            labels0, pyramid.subscene_idx[i], num_classes, ignore_label,
+            infer=cfg.label_infer,
         )
         li = cbl_stage_loss(latents[i], pyramid.contrast_idx[i], label_soft, cfg)
         losses[f"cbl_stage{i}"] = li

@@ -161,3 +161,30 @@ def test_cbl_ignore_label_center_excluded(rng):
     # it, but as a neighbor it's excluded from pos AND denominator too
     l2 = float(cbl_stage_loss(jnp.asarray(feats2), idx, soft, cfg))
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_subscene_label_infer_variants(rng):
+    p0 = rng.rand(1, 64, 3).astype(np.float32)
+    p1 = p0[:, ::4]
+    labels = rng.randint(0, 5, (1, 64)).astype(np.int32)
+    idx, _ = knn(jnp.asarray(p1), jnp.asarray(p0), 4)
+
+    soft = np.asarray(subscene_labels(jnp.asarray(labels), idx, 5, infer="soft"))
+    nst = np.asarray(subscene_labels(jnp.asarray(labels), idx, 5, infer="nst"))
+    hard = np.asarray(subscene_labels(jnp.asarray(labels), idx, 5, infer="max"))
+
+    # nst = one-hot of the nearest level-0 label
+    np.testing.assert_array_equal(
+        nst[0].argmax(-1), labels[0][np.asarray(idx)[0, :, 0]]
+    )
+    assert ((nst == 0) | (nst == 1)).all()
+    # max = argmax of soft, hard one-hot
+    np.testing.assert_array_equal(hard[0].argmax(-1), soft[0].argmax(-1))
+    assert ((hard == 0) | (hard == 1)).all()
+    # soft sums to 1 (all labels valid here)
+    np.testing.assert_allclose(soft.sum(-1), 1.0, rtol=1e-5)
+
+    from contrastboundary_tpu.config.dsl import parse_contrast_ops
+
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-nst-l2-w.1")
+    assert c.label_infer == "nst"
