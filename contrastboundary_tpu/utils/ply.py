@@ -34,6 +34,7 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
         fmt = None
         count = 0
         props: List[Tuple[str, str]] = []
+        in_vertex = False
         while True:
             line = f.readline().strip().decode()
             if line == "end_header":
@@ -42,10 +43,13 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
             if parts[0] == "format":
                 fmt = parts[1]
             elif parts[0] == "element":
-                if parts[1] != "vertex" and count:
-                    raise ValueError("only single vertex element supported")
-                count = int(parts[2])
-            elif parts[0] == "property":
+                in_vertex = parts[1] == "vertex"
+                if in_vertex:
+                    count = int(parts[2])
+            elif parts[0] == "property" and in_vertex:
+                # vertex properties only; trailing elements (e.g. mesh faces)
+                # are ignored — _read_faces in data/prepare_scannet.py parses
+                # those separately
                 props.append((parts[-1], parts[1]))
         if fmt != "binary_little_endian":
             raise ValueError(f"unsupported ply format {fmt}")

@@ -82,3 +82,67 @@ def test_rasterize_mesh(rng):
     assert a.min() >= -1e-6 and a.max() <= 3 + 1e-6
     # vertices appended with a containing face's label
     assert l[-4] in (5, 7)
+
+
+def _write_scannet_ply(path, vertices, colors, faces):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n".encode())
+        for p in ["x", "y", "z"]:
+            f.write(f"property float {p}\n".encode())
+        for p in ["red", "green", "blue"]:
+            f.write(f"property uchar {p}\n".encode())
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        for v, c in zip(vertices, colors):
+            f.write(struct.pack("<fff", *v) + struct.pack("BBB", *c))
+        for face in faces:
+            f.write(struct.pack("<Biii", 3, *face))
+
+
+def _write_labels_ply(path, labels):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(labels)}\n".encode())
+        f.write(b"property ushort label\nend_header\n")
+        for l in labels:
+            f.write(struct.pack("<H", l))
+
+
+def test_prepare_scannet(tmp_path):
+    from contrastboundary_tpu.data.prepare_scannet import prepare_scannet
+
+    scene = tmp_path / "raw" / "scene0000_00"
+    scene.mkdir(parents=True)
+    vertices = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    colors = np.array([[255, 0, 0]] * 4, np.uint8)
+    faces = np.array([[0, 1, 2], [1, 3, 2]])
+    labels = np.array([1, 1, 2, 2])
+    _write_scannet_ply(str(scene / "scene0000_00_vh_clean_2.ply"), vertices, colors, faces)
+    _write_labels_ply(str(scene / "scene0000_00_vh_clean_2.labels.ply"), labels)
+
+    out = prepare_scannet(str(tmp_path / "raw"), str(tmp_path / "npy"),
+                          density=500, verbose=False)
+    assert len(out) == 1
+    arr = np.load(out[0])
+    assert arr.shape[1] == 7
+    assert len(arr) > 200  # ~500 points/m2 on a 1 m2 mesh + vertices
+    assert set(arr[:, 6].astype(int)) <= {1, 2}
+    # points lie on the z=0 unit square
+    assert np.abs(arr[:, 2]).max() < 1e-5
+    assert arr[:, 0].min() >= -1e-5 and arr[:, 0].max() <= 1 + 1e-5
+    # colors interpolated from the red vertices
+    assert np.allclose(arr[:, 3], 255, atol=1e-3)
+
+    # feeds straight into ScanNetDataset (raw id 1=wall, 2=floor)
+    from contrastboundary_tpu.data.datasets import ScanNetDataset
+
+    ds = ScanNetDataset(str(tmp_path / "npy"))
+    _, _, lab = ds.room(0)
+    assert set(np.unique(lab)) <= {0, 1}  # remapped benchmark ids
