@@ -79,6 +79,10 @@ def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
             kw["project"] = t[4:] or "mlp"
         elif t in ("nst", "max", "soft"):
             kw["label_infer"] = t
+        elif re.match(r"^nn\d+$", t):
+            kw["extra_pos_nn"] = int(t[2:])
+        elif re.match(r"^rand\d+$", t):
+            kw["extra_neg_rand"] = int(t[4:])
         elif re.match(r"^[UDud]?[0-9a]+$", t):
             stages = tuple(i for _, i in parse_stage(t, num_layers))
         else:

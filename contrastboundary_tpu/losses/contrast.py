@@ -47,6 +47,12 @@ class ContrastConfig:
     # 'nst' nearest-1 one-hot (TF head.py:83-91), 'max' argmax of the mean
     # distribution (TF head.py:127-128, hard labels)
     label_infer: str = "soft"
+    # extra sample sets concatenated to the label-based neighbors
+    # (TF sample_labels, head.py:561-601): nn<k> forces the k spatially
+    # nearest neighbors positive; rand<k> adds k uniform-random points as
+    # negatives (DSL tokens `nn4` / `rand8`)
+    extra_pos_nn: int = 0
+    extra_neg_rand: int = 0
 
 
 def subscene_labels(
@@ -162,16 +168,36 @@ def cbl_stage_loss(
     contrast_idx: jax.Array,
     label_soft: jax.Array,
     cfg: ContrastConfig,
+    key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """CBL loss for one stage.
 
     features:     [B, M, C] stage features (latent).
     contrast_idx: [B, M, K] self-KNN excluding self; shadow index M = invalid.
     label_soft:   [B, M, ncls] sub-scene soft labels.
+    key:          PRNG key, required when cfg.extra_neg_rand > 0.
 
     Returns the scalar stage loss (already × cfg.weight).
     """
-    m = features.shape[1]
+    b, m, _ = features.shape
+    sample_idx = [contrast_idx]
+    # pos/neg overrides for the extra sample sets: nan = label-decided
+    force_pos = [jnp.full(contrast_idx.shape, jnp.nan)]
+    if cfg.extra_pos_nn:
+        nn_idx = contrast_idx[..., : cfg.extra_pos_nn]
+        sample_idx.append(nn_idx)
+        force_pos.append(jnp.ones(nn_idx.shape))
+    if cfg.extra_neg_rand:
+        if key is None:
+            raise ValueError("rand<k> negatives need a PRNG key")
+        rand_idx = jax.random.randint(
+            key, (b, m, cfg.extra_neg_rand), 0, m, dtype=contrast_idx.dtype
+        )
+        sample_idx.append(rand_idx)
+        force_pos.append(jnp.zeros(rand_idx.shape))
+    contrast_idx = jnp.concatenate(sample_idx, axis=-1)
+    force_pos = jnp.concatenate(force_pos, axis=-1)
+
     valid = (contrast_idx < m)
     safe_idx = jnp.where(valid, contrast_idx, 0)
 
@@ -192,7 +218,9 @@ def cbl_stage_loss(
     center_valid = jnp.sum(label_soft, axis=-1) > 0  # [B, M]
     valid = valid & (jnp.sum(nb_label, axis=-1) > 0)
 
+    forced = ~jnp.isnan(force_pos)
     posmask = _posmask_cnt(label_soft, nb_label)
+    posmask = jnp.where(forced, force_pos > 0.5, posmask)
     validf = valid.astype(jnp.float32)
     pos_cnt = jnp.sum(posmask * validf, axis=-1)
     valid_cnt = jnp.sum(validf, axis=-1)
@@ -200,6 +228,7 @@ def cbl_stage_loss(
 
     if cfg.pos == "kl":
         posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
+        posmask = jnp.where(forced, force_pos > 0.5, posmask)
     posmask = posmask.astype(jnp.float32) * validf
 
     dist = _dist(cfg, features, nb_feat, pre_normalized=(cfg.dist == "norml2"))
@@ -220,6 +249,7 @@ def cbl_loss(
     num_classes: int,
     cfg: ContrastConfig,
     ignore_label: int = -1,
+    key: Optional[jax.Array] = None,
 ):
     """Full CBL: Σ over configured stages. Returns (total, per-stage dict)."""
     losses = {}
@@ -233,7 +263,10 @@ def cbl_loss(
             labels0, pyramid.subscene_idx[i], num_classes, ignore_label,
             infer=cfg.label_infer,
         )
-        li = cbl_stage_loss(latents[i], pyramid.contrast_idx[i], label_soft, cfg)
+        ki = jax.random.fold_in(key, i) if key is not None else None
+        li = cbl_stage_loss(
+            latents[i], pyramid.contrast_idx[i], label_soft, cfg, key=ki
+        )
         losses[f"cbl_stage{i}"] = li
         total = total + li
     return total, losses

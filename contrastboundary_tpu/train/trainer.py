@@ -55,6 +55,11 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
                     if any(f is not None for f in out.contrast_feats)
                     else out.latents
                 )
+                cbl_key = (
+                    jax.random.fold_in(jax.random.PRNGKey(13), state.step)
+                    if cfg.contrast.extra_neg_rand
+                    else None
+                )
                 cb, per_stage = cbl_loss(
                     cfeats,
                     pyramid,
@@ -62,6 +67,7 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
                     cfg.num_classes,
                     cfg.contrast,
                     cfg.ignore_label,
+                    key=cbl_key,
                 )
                 total = total + cb
                 metrics["cbl"] = cb

@@ -188,3 +188,34 @@ def test_subscene_label_infer_variants(rng):
 
     c = parse_contrast_ops("contrast-Ua-softnn-latent-label-nst-l2-w.1")
     assert c.label_infer == "nst"
+
+
+def test_cbl_nn_rand_samplers(rng):
+    """nn<k> forces nearest neighbors positive; rand<k> adds random
+    negatives (TF sample_labels, head.py:561-601)."""
+    m, c = 40, 6
+    pts = rng.rand(1, m, 3).astype(np.float32)
+    labels = (pts[0, :, 0] > 0.5).astype(np.int64)
+    soft = jnp.asarray(np.eye(3, dtype=np.float32)[labels][None])
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), 9, exclude_self=True)
+    feats = jnp.asarray(rng.randn(1, m, c).astype(np.float32))
+
+    cfg = ContrastConfig(weight=1.0, extra_pos_nn=3, extra_neg_rand=5)
+    key = jax.random.PRNGKey(0)
+    l1 = float(cbl_stage_loss(feats, idx, soft, cfg, key=key))
+    assert np.isfinite(l1)
+    # deterministic in key, different across keys
+    l1b = float(cbl_stage_loss(feats, idx, soft, cfg, key=key))
+    l2 = float(cbl_stage_loss(feats, idx, soft, cfg, key=jax.random.PRNGKey(1)))
+    assert l1 == l1b and l1 != l2
+    # differs from the plain label-only loss
+    l0 = float(cbl_stage_loss(feats, idx, soft, ContrastConfig(weight=1.0)))
+    assert l1 != l0
+    # rand-only requires a key
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="PRNG key"):
+        cbl_stage_loss(feats, idx, soft, cfg)
+
+    from contrastboundary_tpu.config.dsl import parse_contrast_ops
+    c2 = parse_contrast_ops("contrast-Ua-softnn-latent-label-nn4-rand8-l2-w.1")
+    assert c2.extra_pos_nn == 4 and c2.extra_neg_rand == 8
