@@ -180,23 +180,24 @@ def cbl_stage_loss(
     Returns the scalar stage loss (already × cfg.weight).
     """
     b, m, _ = features.shape
-    sample_idx = [contrast_idx]
-    # pos/neg overrides for the extra sample sets: nan = label-decided
-    force_pos = [jnp.full(contrast_idx.shape, jnp.nan)]
-    if cfg.extra_pos_nn:
-        nn_idx = contrast_idx[..., : cfg.extra_pos_nn]
-        sample_idx.append(nn_idx)
-        force_pos.append(jnp.ones(nn_idx.shape))
-    if cfg.extra_neg_rand:
-        if key is None:
-            raise ValueError("rand<k> negatives need a PRNG key")
-        rand_idx = jax.random.randint(
-            key, (b, m, cfg.extra_neg_rand), 0, m, dtype=contrast_idx.dtype
-        )
-        sample_idx.append(rand_idx)
-        force_pos.append(jnp.zeros(rand_idx.shape))
-    contrast_idx = jnp.concatenate(sample_idx, axis=-1)
-    force_pos = jnp.concatenate(force_pos, axis=-1)
+    force_pos = None  # pos/neg overrides for extra sample sets (nan = label)
+    if cfg.extra_pos_nn or cfg.extra_neg_rand:
+        sample_idx = [contrast_idx]
+        fp = [jnp.full(contrast_idx.shape, jnp.nan)]
+        if cfg.extra_pos_nn:
+            nn_idx = contrast_idx[..., : cfg.extra_pos_nn]
+            sample_idx.append(nn_idx)
+            fp.append(jnp.ones(nn_idx.shape))
+        if cfg.extra_neg_rand:
+            if key is None:
+                raise ValueError("rand<k> negatives need a PRNG key")
+            rand_idx = jax.random.randint(
+                key, (b, m, cfg.extra_neg_rand), 0, m, dtype=contrast_idx.dtype
+            )
+            sample_idx.append(rand_idx)
+            fp.append(jnp.zeros(rand_idx.shape))
+        contrast_idx = jnp.concatenate(sample_idx, axis=-1)
+        force_pos = jnp.concatenate(fp, axis=-1)
 
     valid = (contrast_idx < m)
     safe_idx = jnp.where(valid, contrast_idx, 0)
@@ -218,9 +219,10 @@ def cbl_stage_loss(
     center_valid = jnp.sum(label_soft, axis=-1) > 0  # [B, M]
     valid = valid & (jnp.sum(nb_label, axis=-1) > 0)
 
-    forced = ~jnp.isnan(force_pos)
+    forced = ~jnp.isnan(force_pos) if force_pos is not None else None
     posmask = _posmask_cnt(label_soft, nb_label)
-    posmask = jnp.where(forced, force_pos > 0.5, posmask)
+    if forced is not None:
+        posmask = jnp.where(forced, force_pos > 0.5, posmask)
     validf = valid.astype(jnp.float32)
     pos_cnt = jnp.sum(posmask * validf, axis=-1)
     valid_cnt = jnp.sum(validf, axis=-1)
@@ -228,7 +230,8 @@ def cbl_stage_loss(
 
     if cfg.pos == "kl":
         posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
-        posmask = jnp.where(forced, force_pos > 0.5, posmask)
+        if forced is not None:
+            posmask = jnp.where(forced, force_pos > 0.5, posmask)
     posmask = posmask.astype(jnp.float32) * validf
 
     dist = _dist(cfg, features, nb_feat, pre_normalized=(cfg.dist == "norml2"))
