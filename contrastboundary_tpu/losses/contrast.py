@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.gather import batch_gather
+from ..core.gather import batch_gather, shadow_gather
 from ..core.masking import EPS, INF, masked_mean
 
 _LOG_EPS = 1e-12
@@ -261,11 +261,27 @@ def cbl_loss(
     stages = [
         i for i in cfg.stages if i < len(latents) and latents[i] is not None
     ]
+
+    recur_labels = None
+    if cfg.label_infer == "recur":
+        # recursive stage-to-stage propagation (TF head.py:51-81): stage-i
+        # labels = mean of stage-(i-1) labels over the pooling neighborhood,
+        # instead of a direct search back to level 0
+        lv = subscene_labels(labels0, None, num_classes, ignore_label)
+        recur_labels = [lv]
+        for l in range(1, len(pyramid.points)):
+            nb, _ = shadow_gather(lv, pyramid.down_idx[l], fill=0.0)
+            lv = jnp.mean(nb, axis=-2)
+            recur_labels.append(lv)
+
     for i in stages:
-        label_soft = subscene_labels(
-            labels0, pyramid.subscene_idx[i], num_classes, ignore_label,
-            infer=cfg.label_infer,
-        )
+        if recur_labels is not None:
+            label_soft = recur_labels[i]
+        else:
+            label_soft = subscene_labels(
+                labels0, pyramid.subscene_idx[i], num_classes, ignore_label,
+                infer=cfg.label_infer,
+            )
         ki = jax.random.fold_in(key, i) if key is not None else None
         li = cbl_stage_loss(
             latents[i], pyramid.contrast_idx[i], label_soft, cfg, key=ki

@@ -219,3 +219,38 @@ def test_cbl_nn_rand_samplers(rng):
     from contrastboundary_tpu.config.dsl import parse_contrast_ops
     c2 = parse_contrast_ops("contrast-Ua-softnn-latent-label-nn4-rand8-l2-w.1")
     assert c2.extra_pos_nn == 4 and c2.extra_neg_rand == 8
+
+
+def test_cbl_recur_label_inference(rng):
+    from contrastboundary_tpu.losses import cbl_loss
+    from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+
+    spec = PyramidSpec(
+        strides=(1, 4, 4), k_self=(8, 8, 8), k_down=(8, 8, 8),
+        k_contrast=(8, 8, 8), with_subscene=True, sampler="fps",
+    )
+    pts = rng.rand(1, 64, 3).astype(np.float32)
+    labels = jnp.asarray((pts[..., 0] > 0.5).astype(np.int32))
+    pyr = build_pyramid(jnp.asarray(pts), spec)
+    latents = tuple(
+        jnp.asarray(rng.randn(1, n, 6).astype(np.float32))
+        for n in (64, 16, 4)
+    )
+    for infer in ("soft", "recur"):
+        cfg = ContrastConfig(stages=(0, 1, 2), label_infer=infer)
+        total, per = cbl_loss(latents, pyr, labels, 3, cfg)
+        assert np.isfinite(float(total)), infer
+        assert len(per) == 3
+    # the recur label DISTRIBUTION differs from the direct-to-U0 soft labels
+    # at deeper stages (loss can still coincide when argmaxes agree)
+    from contrastboundary_tpu.core.gather import shadow_gather
+    import jax.numpy as _jnp
+
+    direct = subscene_labels(labels, pyr.subscene_idx[2], 3)
+    lv = subscene_labels(labels, None, 3)
+    for l in (1, 2):
+        nb, _ = shadow_gather(lv, pyr.down_idx[l], fill=0.0)
+        lv = _jnp.mean(nb, axis=-2)
+    assert not np.allclose(np.asarray(direct), np.asarray(lv))
+    # but both must agree on the dominant class for clean labels
+    assert (np.asarray(direct).argmax(-1) == np.asarray(lv).argmax(-1)).mean() > 0.9
