@@ -43,6 +43,10 @@ class ContrastConfig:
     kl_threshold: float = 0.5  # posmask kl variant (config `labelkl.5`)
     stages: Tuple[int, ...] = (0, 1, 2, 3, 4)  # 'Ua' = all up stages
     project: str = ""  # per-stage projection MLP: '' | linear | mlp | mlp2
+    # which per-stage features the contrast runs on (reference head_cfg.ftype,
+    # resolved by get_branch_head, tensorflow/models/heads/head.py:247-287):
+    # latent (flagship) | logits | probs | f_out
+    ftype: str = "latent"
     # sub-scene label inference: 'soft' mean one-hot over kr (default),
     # 'nst' nearest-1 one-hot (TF head.py:83-91), 'max' argmax of the mean
     # distribution (TF head.py:127-128, hard labels)
@@ -144,10 +148,13 @@ def _contrast_softnn(cfg, dist, posmask, valid):
 
 
 def _contrast_nce(cfg, dist, posmask, valid):
-    """Per-positive InfoNCE, averaged over the positives of each point
-    (pytorch/model/heads.py:167-183; the reference flattens all positives —
-    here the per-point mean over positives keeps shapes static, then the
-    masked point-mean matches the flat mean up to per-point positive counts).
+    """Per-positive InfoNCE, SUMMED over the positives of each point —
+    the TF default (no mask/margin token): denominator is Σ over all valid
+    pos+neg samples and the per-point reduction is a sum
+    (tensorflow/models/heads/head.py:782-795:
+    `under = reduce_sum(exps·(pos|neg))`, `-reduce_sum(log(...)·pos_mask)`).
+    The pytorch stack's variant (heads.py:167-183, per-pos+neg denominator,
+    flat mean) is NOT the published semantics of `nce` op-strings.
     """
     d = -dist
     d = d - jax.lax.stop_gradient(
@@ -156,11 +163,11 @@ def _contrast_nce(cfg, dist, posmask, valid):
     if cfg.temperature is not None:
         d = d / cfg.temperature
     e = jnp.exp(d) * valid
-    neg = jnp.sum(e * (1.0 - posmask), axis=-1, keepdims=True)
-    ratio = e / jnp.maximum(e + neg, EPS)
-    per_pos = -jnp.log(jnp.maximum(ratio, EPS))
+    under = jnp.sum(e, axis=-1, keepdims=True)  # all valid samples
+    ratio = e / jnp.maximum(under, EPS)
+    per_pos = -jnp.log(ratio + EPS)
     pmask = posmask * valid
-    return masked_mean(per_pos, pmask, axis=-1)
+    return jnp.sum(per_pos * pmask, axis=-1)
 
 
 def cbl_stage_loss(
@@ -220,18 +227,20 @@ def cbl_stage_loss(
     valid = valid & (jnp.sum(nb_label, axis=-1) > 0)
 
     forced = ~jnp.isnan(force_pos) if force_pos is not None else None
-    posmask = _posmask_cnt(label_soft, nb_label)
+    if cfg.pos == "kl":
+        posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
+    else:
+        posmask = _posmask_cnt(label_soft, nb_label)
     if forced is not None:
         posmask = jnp.where(forced, force_pos > 0.5, posmask)
     validf = valid.astype(jnp.float32)
+    # point mask (≥1 valid pos AND ≥1 valid neg) derives from the FINAL
+    # posmask: the reference's solve_samples_mask (head.py:639-662) consumes
+    # the same posneg that collect_labels produced — the kl posmask for the
+    # labelkl configs, not the cnt one.
     pos_cnt = jnp.sum(posmask * validf, axis=-1)
     valid_cnt = jnp.sum(validf, axis=-1)
     point_mask = (pos_cnt > 0) & (pos_cnt < valid_cnt) & center_valid
-
-    if cfg.pos == "kl":
-        posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
-        if forced is not None:
-            posmask = jnp.where(forced, force_pos > 0.5, posmask)
     posmask = posmask.astype(jnp.float32) * validf
 
     dist = _dist(cfg, features, nb_feat, pre_normalized=(cfg.dist == "norml2"))

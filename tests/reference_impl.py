@@ -78,6 +78,47 @@ def subscene_label_np(p_from, p_to, labels_from, kr, num_classes):
     return onehot[idx].mean(-2)
 
 
+def cbl_nce_np(features, neighbor_idx, labels_soft, temperature=1.0):
+    """Per-stage CBL nce loss (TF default, no mask/margin token) — mirrors
+    tensorflow/models/heads/head.py:773-795: denominator = Σ exps over ALL
+    valid pos+neg samples, per-point SUM of −log over positives, mean over
+    point-masked rows. cnt posmask + l2 dist."""
+    eps = 1e-12
+    k = neighbor_idx.shape[1]
+    nb_label = labels_soft[neighbor_idx]
+    nb_feat = features[neighbor_idx]
+    posmask = labels_soft.argmax(-1)[:, None] == nb_label.argmax(-1)
+    cnt = posmask.sum(-1)
+    point_mask = (0 < cnt) & (cnt < k)
+    if not point_mask.any():
+        return 0.0
+    pm = posmask[point_mask]
+    f = features[point_mask]
+    nf = nb_feat[point_mask]
+    dist = np.sqrt(((f[:, None, :] - nf) ** 2).sum(-1) + eps)
+    d = -dist
+    d = d / temperature
+    d = d - d.max(-1, keepdims=True)
+    e = np.exp(d)
+    under = e.sum(-1, keepdims=True)  # all pos+neg (head.py:788)
+    per_pos = -np.log(e / under + eps)  # head.py:795 (log of ratio + eps)
+    return (per_pos * pm).sum(-1).mean()
+
+
+def cbl_kl_posmask_np(labels_soft, nb_label, threshold):
+    """kl posmask + the point mask derived FROM IT — mirrors
+    tensorflow/models/heads/head.py:492-519 (labelkl posneg) feeding
+    solve_samples_mask (:639-662). Returns (posmask [M,K], point_mask [M])."""
+    eps = 1e-12
+    l = np.maximum(labels_soft[:, None, :], eps)
+    nl = np.maximum(nb_label, eps)
+    kl = (labels_soft[:, None, :] * (np.log(l) - np.log(nl))).sum(-1)
+    posmask = kl < threshold
+    pos_point = posmask.any(-1)
+    neg_point = (~posmask).any(-1)
+    return posmask, pos_point & neg_point
+
+
 def cbl_softnn_np(features, neighbor_idx, labels_soft, temperature=1.0):
     """Per-stage CBL softnn loss on one cloud — mirrors
     pytorch/model/heads.py:185-246 `point_contrast` with cnt posmask and l2

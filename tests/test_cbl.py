@@ -10,7 +10,13 @@ from contrastboundary_tpu.losses import (
 )
 from contrastboundary_tpu.ops import knn
 
-from reference_impl import subscene_label_np, cbl_softnn_np, knn_np
+from reference_impl import (
+    subscene_label_np,
+    cbl_softnn_np,
+    cbl_nce_np,
+    cbl_kl_posmask_np,
+    knn_np,
+)
 
 
 def test_subscene_labels_match_numpy(rng):
@@ -56,6 +62,68 @@ def test_cbl_softnn_matches_numpy(rng):
     )
     ref = cbl_softnn_np(feats[0], np.asarray(idx)[0], label_soft[0], temperature=1.0)
     np.testing.assert_allclose(loss, 0.1 * ref, rtol=1e-4)
+
+
+def test_cbl_nce_matches_tf_default(rng):
+    """nce golden: per-point SUM over positives with Σ_all denominator
+    (tensorflow/models/heads/head.py:773-795) — round-1 review fix #3b."""
+    m, c, ncls, k = 48, 8, 4, 7
+    feats = rng.randn(1, m, c).astype(np.float32)
+    pts = rng.rand(1, m, 3).astype(np.float32)
+    labels = (pts[0, :, 0] * 2).astype(np.int64) % ncls
+    label_soft = np.eye(ncls, dtype=np.float32)[labels][None]
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), k, exclude_self=True)
+    cfg = ContrastConfig(contrast="nce", dist="l2", pos="cnt", temperature=1.0, weight=0.1)
+    loss = float(
+        cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
+    )
+    ref = cbl_nce_np(feats[0], np.asarray(idx)[0], label_soft[0], temperature=1.0)
+    np.testing.assert_allclose(loss, 0.1 * ref, rtol=1e-4)
+
+
+def test_cbl_kl_point_mask_from_kl_posmask(rng):
+    """The kl variant's point mask must come from the kl posmask itself
+    (head.py:639-662 fed by :492-519) — round-1 review fix #3a. Construct a
+    case where the cnt and kl point masks DIFFER and check the loss equals a
+    numpy re-derivation using the kl-derived mask."""
+    m, c, ncls, k = 40, 6, 3, 7
+    feats = rng.randn(1, m, c).astype(np.float32)
+    pts = rng.rand(1, m, 3).astype(np.float32)
+    # fully-soft random label distributions (as real sub-scene labels are):
+    # argmax equality and KL<thr then disagree on some pairs
+    logits = rng.randn(m, ncls).astype(np.float32) * 1.5
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    label_soft = (e / e.sum(-1, keepdims=True))[None].astype(np.float32)
+    idx_j, _ = knn(jnp.asarray(pts), jnp.asarray(pts), k, exclude_self=True)
+    idx = np.asarray(idx_j)[0]
+    threshold = 0.5
+
+    nb_label = label_soft[0][idx]
+    posmask, point_mask = cbl_kl_posmask_np(label_soft[0], nb_label, threshold)
+    # the cnt-derived mask must differ for this construction to test anything
+    cnt_pos = label_soft[0].argmax(-1)[:, None] == nb_label.argmax(-1)
+    cnt_point = cnt_pos.any(-1) & (~cnt_pos).any(-1)
+    assert (point_mask != cnt_point).any(), "construction failed: masks equal"
+
+    # numpy loss with the kl posmask + kl-derived point mask (softnn, l2)
+    eps = 1e-12
+    f = feats[0][point_mask]
+    nf = feats[0][idx][point_mask]
+    pm = posmask[point_mask]
+    dist = np.sqrt(((f[:, None, :] - nf) ** 2).sum(-1) + eps)
+    d = -dist
+    d = d - d.max(-1, keepdims=True)
+    e = np.exp(d)
+    ref = (-np.log((e * pm).sum(-1) / e.sum(-1) + eps)).mean()
+
+    cfg = ContrastConfig(
+        contrast="softnn", dist="l2", pos="kl", kl_threshold=threshold,
+        temperature=1.0, weight=1.0,
+    )
+    loss = float(
+        cbl_stage_loss(jnp.asarray(feats), idx_j, jnp.asarray(label_soft), cfg)
+    )
+    np.testing.assert_allclose(loss, ref, rtol=1e-4)
 
 
 def test_cbl_no_boundary_returns_zero(rng):
