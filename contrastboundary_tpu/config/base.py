@@ -121,6 +121,13 @@ class Config:
     def use_multihead(self) -> bool:
         return "multi" in self.heads
 
+    @property
+    def _needs_subscene(self) -> bool:
+        """Sub-scene label KNNs are needed by CBL and by the multi head's
+        'lossSub' per-stage soft-label supervision."""
+        multi = self.heads.get("multi", {})
+        return self.contrast is not None or multi.get("branch_loss") == "lossSub"
+
     def pyramid_spec(self) -> PyramidSpec:
         m = self.model
         if m.arch == "convnet":
@@ -138,7 +145,7 @@ class Config:
                 k_self=limits,
                 k_down=k_down,
                 k_contrast=tuple(m.contrast_nsample) if self.contrast else None,
-                with_subscene=self.contrast is not None,
+                with_subscene=self._needs_subscene,
                 sampler=m.sampler,
                 knn_window=m.knn_window,
                 radii=radii,
@@ -152,7 +159,7 @@ class Config:
             k_self=tuple(m.nsample),
             k_down=tuple(m.nsample),
             k_contrast=tuple(m.contrast_nsample) if self.contrast else None,
-            with_subscene=self.contrast is not None,
+            with_subscene=self._needs_subscene,
             sampler=m.sampler,
             knn_window=m.knn_window,
         )
@@ -168,7 +175,11 @@ class Config:
             use_multihead=self.use_multihead,
             multi_combine=multi.get("combine", "concat"),
             multi_stages=multi.get("stages"),
+            multi_ftype=multi.get("ftype", "latent"),
+            multi_branch_loss=multi.get("branch_loss", ""),
+            multi_condition=multi.get("condition", ""),
             contrast_project=(self.contrast.project if self.contrast else ""),
+            contrast_ftype=(self.contrast.ftype if self.contrast else "latent"),
         )
         if self.model.arch == "pointtransformer":
             from ..models import PointTransformerSeg

@@ -60,10 +60,17 @@ def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
             kw["contrast"] = t
         elif t in ("l2", "l2square", "norml2", "kl", "cos"):
             kw["dist"] = "norml2" if t == "cos" else t
-        elif t in ("latent", "logits", "probs", "f_out"):
-            pass  # ftype: latent is the only one wired (flagship default)
-        elif t in ("label", "cnt", "glb", "sub", "subspatial", "pts", "vote"):
+        elif t in ("latent", "logits", "probs", "f_out", "fout"):
+            kw["ftype"] = "f_out" if t == "fout" else t
+        elif t in ("label", "cnt"):
             pass  # sample source; 'label' is the flagship default
+        elif t in ("glb", "sub", "subspatial", "pts", "vote"):
+            # fail loudly instead of silently falling back to 'label'
+            # (round-1 review: never swallow tokens)
+            raise NotImplementedError(
+                f"contrast sample source {t!r} is not wired — only "
+                f"label-neighborhood sampling (+nn<k>/rand<k>) is implemented"
+            )
         elif _LABELKL_RE.match(t):
             m = _LABELKL_RE.match(t)
             kw["pos"] = "kl"
@@ -94,20 +101,53 @@ def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
     return ContrastConfig(**kw)
 
 
+_BRANCH_LOSS_RE = re.compile(r"^(loss(?:Sub)?)((?:\d*\.)?\d+)?$")
+_CONDITION_RE = re.compile(r"^(concat|sum|max)(\d+|A)$")
+
+
 def parse_multi_ops(ops: str, num_layers: int = 5) -> dict:
-    """Parse 'multi-Ua-concat-latent' → {'stages', 'combine', 'ftype'}
-    (reference config/head.py:84-111)."""
+    """Parse 'multi-Ua-concat-latent' → {'stages', 'combine', 'ftype', ...}
+    (reference config/head.py:84-111; the head itself at
+    tensorflow/models/heads/head.py:338-459 takes branch|condition|main
+    segments).
+
+    Tokens beyond the published main path:
+      - ftype: latent | logits | probs | fout (f_out) — what the per-stage
+        branches expose to the main combine.
+      - combine: concat | concatmlp | sum.
+      - branch loss: 'loss<w>' (per-stage logits upsampled to U0, full-label
+        xen) or 'lossSub<w>' (stage-local sub-scene soft-label xen,
+        head.py:303-317), e.g. 'lossSub.5' — the reference branch segment
+        'Ua-lossSub.5'.
+      - condition: '<ops><i|A>' e.g. 'concat1' / 'sumA' — combine the
+        previous i (or All) deeper stages' latents into each stage before
+        predicting (head.py:425-447 combine_condition).
+    """
     tokens = ops.split("-")
     if tokens and tokens[0] == "multi":
         tokens = tokens[1:]
-    out = {"stages": tuple(range(num_layers)), "combine": "concat", "ftype": "latent"}
+    out = {
+        "stages": tuple(range(num_layers)),
+        "combine": "concat",
+        "ftype": "latent",
+        "branch_loss": "",
+        "branch_weight": 1.0,
+        "condition": "",
+    }
     for t in tokens:
         if not t:
             continue
         if t in ("concat", "concatmlp", "sum"):
             out["combine"] = t
-        elif t in ("latent", "logits", "probs"):
-            out["ftype"] = t
+        elif t in ("latent", "logits", "probs", "f_out", "fout"):
+            out["ftype"] = "f_out" if t == "fout" else t
+        elif _BRANCH_LOSS_RE.match(t):
+            m = _BRANCH_LOSS_RE.match(t)
+            out["branch_loss"] = m.group(1)
+            if m.group(2):
+                out["branch_weight"] = float(m.group(2))
+        elif _CONDITION_RE.match(t):
+            out["condition"] = t
         elif re.match(r"^[UDud]?[0-9a]+$", t):
             out["stages"] = tuple(i for _, i in parse_stage(t, num_layers))
         else:
@@ -119,7 +159,7 @@ def parse_arch_out(arch_out: str, num_layers: int = 5) -> dict:
     """Split a full head spec 'multi-...|contrast-...' into parsed heads
     (the reference's `arch_out` joined with '|', config/s3dis.py:147-185)."""
     heads: dict = {}
-    for seg in arch_out.split("|"):
+    for pos, seg in enumerate(arch_out.split("|")):
         seg = seg.strip()
         if not seg:
             continue
@@ -129,6 +169,10 @@ def parse_arch_out(arch_out: str, num_layers: int = 5) -> dict:
             heads["contrast"] = parse_contrast_ops(seg, num_layers)
         elif seg.startswith("mlp") or seg == "1-xen":
             heads["mlp"] = {"ops": seg}
+        elif pos == 0:
+            # the reference's leading segment selects the backbone/local
+            # aggregation ('', 'pospool', 'adapt', …) — config/s3dis.py:147-185
+            heads["backbone"] = seg
         else:
             raise ValueError(f"unknown head segment {seg!r}")
     return heads

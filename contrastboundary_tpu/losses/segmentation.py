@@ -31,3 +31,21 @@ def cross_entropy(
     if weight is not None:
         w = w * weight
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def soft_cross_entropy(logits: jax.Array, soft_labels: jax.Array) -> jax.Array:
+    """Cross-entropy against a soft label distribution — the reference's
+    downsampled-stage supervision (tensorflow/models/heads/head.py:303-317:
+    `mlp_head.pred` with stage-(n,i) sub-scene soft labels). Rows whose soft
+    label sums to 0 (all source neighbors ignore-labeled) are masked out.
+
+    logits [..., num_classes], soft_labels [..., num_classes] (rows sum to
+    ≤1; an all-zero row marks an ignored point)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    mass = jnp.sum(soft_labels, axis=-1)
+    valid = mass > 0
+    # renormalize partial rows (some neighbors ignored) to a distribution
+    soft = soft_labels / jnp.maximum(mass, 1e-12)[..., None]
+    nll = -jnp.sum(soft * logp, axis=-1)
+    w = valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)

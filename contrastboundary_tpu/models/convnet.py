@@ -61,7 +61,11 @@ class ConvNetSeg(nn.Module):
     use_multihead: bool = True
     multi_combine: str = "concat"
     multi_stages: Tuple[int, ...] = None  # type: ignore[assignment]
+    multi_ftype: str = "latent"
+    multi_branch_loss: str = ""
+    multi_condition: str = ""
     contrast_project: str = ""
+    contrast_ftype: str = "latent"
     in_features: str = "1-rgb-Z"  # assembled from points+colors (config in_features_dim=5)
     dtype: Dtype = jnp.float32
 
@@ -161,9 +165,12 @@ class ConvNetSeg(nn.Module):
             up_feats[l] = x
 
         if self.use_multihead:
-            logits, latents, contrast_feats = MultiHead(
+            logits, latents, contrast_feats, stage_logits = MultiHead(
                 self.num_classes, self.base_fdim, combine=self.multi_combine,
                 stages=self.multi_stages, project=self.contrast_project,
+                ftype=self.multi_ftype, contrast_ftype=self.contrast_ftype,
+                branch_loss=self.multi_branch_loss,
+                condition=self.multi_condition,
                 dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:
@@ -173,6 +180,7 @@ class ConvNetSeg(nn.Module):
             )(y)
             latents = tuple()
             contrast_feats = tuple()
+            stage_logits = tuple()
 
         return ModelOutput(
             logits=logits.astype(jnp.float32),
@@ -180,4 +188,5 @@ class ConvNetSeg(nn.Module):
             up_feats=tuple(up_feats),
             latents=latents,
             contrast_feats=contrast_feats,
+            stage_logits=stage_logits,
         )

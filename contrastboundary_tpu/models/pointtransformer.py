@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
@@ -37,17 +38,41 @@ class ModelOutput:
     # features the contrast loss runs on: latents, optionally through the
     # per-stage projection MLPs (reference head_cfg.project)
     contrast_feats: Tuple = ()
+    # per-stage branch logits [B, N_i, ncls] (None where not built) — the
+    # reference mlp_head branch heads (head.py:247-287); supervised by the
+    # multi head's branch loss ('loss'/'lossSub' tokens)
+    stage_logits: Tuple = ()
+
+
+def _nearest_stage_idx(pyramid: Pyramid, src: int, dst: int):
+    """Nearest stage-`src` point for every stage-`dst` point (src > dst),
+    chained through the per-level nearest-up indices — the TPU-first stand-in
+    for the reference's on-the-fly cross-stage searches (get_sample_idx,
+    tensorflow/models/heads/head.py:133-177 with kr=1)."""
+    if dst == 0:
+        return pyramid.near0_idx[src]
+    idx = pyramid.up_idx[dst + 1][..., 0]  # [B, N_dst] → level dst+1
+    for l in range(dst + 2, src + 1):
+        idx = batch_gather(pyramid.up_idx[l][..., 0], idx)
+    return idx
 
 
 class MultiHead(nn.Module):
-    """Per-up-stage latent towers + k=1 upsample to level 0 + combine +
-    classifier (pytorch/model/heads.py:13-61, config multi-Ua-concat-latent).
+    """Per-up-stage branch heads + upsample-to-U0 + combine + classifier
+    (pytorch/model/heads.py:13-61 `MultiHead`, config multi-Ua-concat-latent;
+    TF multiscale_head, tensorflow/models/heads/head.py:338-459).
 
     combine 'concat' → linear classifier; 'concatmlp' → Dense+BN+ReLU+Dense
-    (heads.py:38-41). `stages` selects which up stages contribute ('Ua' =
-    all). `project` optionally adds per-stage projection MLPs whose outputs
-    feed the contrast loss (the reference ContrastHead's `project` MLPbyOps,
-    heads.py:88-92): '' off | 'linear' | 'mlp' | 'mlp2'.
+    (heads.py:38-41); 'sum' → elementwise sum (basic_operators.py:561-608).
+    `ftype` picks what each stage exposes to the main combine: latent
+    (flagship) | logits | probs | f_out (head.py:247-287 get_branch_head —
+    when combining logits/probs the combined tensor IS the prediction, no
+    extra classifier). `stages` selects contributing up stages ('Ua' = all).
+    `project` adds per-stage projection MLPs feeding the contrast loss
+    (heads.py:88-92); `contrast_ftype` picks the contrast feature source.
+    `branch_loss` ('loss'/'lossSub') builds supervised per-stage logits
+    (head.py:303-317); `condition` ('concat1', 'sumA', …) mixes the previous
+    deeper stages' latents into each stage first (head.py:425-447).
     """
 
     num_classes: int
@@ -55,49 +80,126 @@ class MultiHead(nn.Module):
     combine: str = "concat"
     stages: Optional[Tuple[int, ...]] = None
     project: str = ""
+    ftype: str = "latent"
+    contrast_ftype: str = "latent"
+    branch_loss: str = ""
+    condition: str = ""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, up_feats, pyramid: Pyramid, train: bool = True):
-        stages = self.stages if self.stages is not None else tuple(
-            range(len(up_feats))
-        )
-        latents: list = [None] * len(up_feats)
-        contrast_feats: list = [None] * len(up_feats)
-        collected = []
+        nl = len(up_feats)
+        stages = self.stages if self.stages is not None else tuple(range(nl))
         d = self.base_fdim
+
+        latents: list = [None] * nl
         for i in stages:
-            latent = MLPTower((d,), dtype=self.dtype, name=f"latent{i}")(
+            latents[i] = MLPTower((d,), dtype=self.dtype, name=f"latent{i}")(
                 up_feats[i], train
             )
-            latents[i] = latent
+
+        if self.condition:
+            import re as _re
+
+            m = _re.match(r"^(concat|sum|max)(\d+|A)$", self.condition)
+            if not m:
+                raise ValueError(f"bad condition spec {self.condition!r}")
+            cond_ops = m.group(1)
+            cond_i = nl if m.group(2) == "A" else int(m.group(2))
+            order = sorted(stages, reverse=True)  # deepest first (U[n..0])
+            for pos, i in enumerate(order):
+                prev = order[max(0, pos - cond_i) : pos]
+                if not prev:
+                    continue
+                feats = [
+                    batch_gather(latents[j], _nearest_stage_idx(pyramid, j, i))
+                    for j in prev
+                ] + [latents[i]]
+                if cond_ops == "concat":
+                    mixed = jnp.concatenate(feats, axis=-1)
+                    # keep the latent width stable for downstream heads
+                    mixed = nn.Dense(d, dtype=self.dtype, name=f"cond{i}")(mixed)
+                elif cond_ops == "sum":
+                    mixed = sum(feats)
+                else:  # max
+                    mixed = feats[0]
+                    for f in feats[1:]:
+                        mixed = jnp.maximum(mixed, f)
+                latents[i] = mixed
+
+        need_logits = bool(self.branch_loss) or any(
+            ft in ("logits", "probs") for ft in (self.ftype, self.contrast_ftype)
+        )
+        stage_logits: list = [None] * nl
+        if need_logits:
+            for i in stages:
+                stage_logits[i] = nn.Dense(
+                    self.num_classes, dtype=jnp.float32, name=f"branch_cls{i}"
+                )(latents[i])
+
+        def select(ftype, i):
+            if ftype == "f_out":
+                return up_feats[i]
+            if ftype == "latent":
+                return latents[i]
+            if ftype == "logits":
+                return stage_logits[i]
+            if ftype == "probs":
+                return jax.nn.softmax(stage_logits[i], axis=-1)
+            raise ValueError(f"unknown ftype {ftype!r}")
+
+        contrast_feats: list = [None] * nl
+        for i in stages:
+            feat = select(self.contrast_ftype, i)
             if self.project == "linear":
-                proj = nn.Dense(d, dtype=self.dtype, name=f"project{i}")(latent)
+                feat = nn.Dense(d, dtype=self.dtype, name=f"project{i}")(feat)
             elif self.project == "mlp":
-                proj = MLPTower((d,), dtype=self.dtype, name=f"project{i}")(
-                    latent, train
+                feat = MLPTower((d,), dtype=self.dtype, name=f"project{i}")(
+                    feat, train
                 )
             elif self.project == "mlp2":
-                proj = MLPTower((d, d), dtype=self.dtype, name=f"project{i}")(
-                    latent, train
+                feat = MLPTower((d, d), dtype=self.dtype, name=f"project{i}")(
+                    feat, train
                 )
-            else:
-                proj = latent
-            contrast_feats[i] = proj
-            if i == 0:
-                collected.append(latent)
-            else:
-                collected.append(batch_gather(latent, pyramid.near0_idx[i]))
-        x = jnp.concatenate(collected, axis=-1)
-        if self.combine.endswith("mlp"):
-            x = nn.Dense(d, dtype=self.dtype, name="cls_fc")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name="cls_bn",
+            contrast_feats[i] = feat
+
+        collected = [
+            select(self.ftype, i)
+            if i == 0
+            else batch_gather(select(self.ftype, i), pyramid.near0_idx[i])
+            for i in stages
+        ]
+        if self.combine == "sum":
+            x = collected[0]
+            for f in collected[1:]:
+                x = x + f
+        else:
+            x = jnp.concatenate(collected, axis=-1)
+        if self.ftype == "logits":
+            # combined per-stage logits ARE the prediction (head.py:276-281:
+            # get_branch_head returns the existing 'logits' entry untouched)
+            logits = x if self.combine == "sum" else nn.Dense(
+                self.num_classes, dtype=jnp.float32, name="cls"
             )(x)
-            x = nn.relu(x)
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(x)
-        return logits, tuple(latents), tuple(contrast_feats)
+        elif self.ftype == "probs":
+            if self.combine == "sum":
+                # summed per-stage distributions → renormalize, log as logits
+                probs = x / jnp.maximum(jnp.sum(x, -1, keepdims=True), 1e-12)
+                logits = jnp.log(jnp.maximum(probs, 1e-12))
+            else:
+                logits = nn.Dense(
+                    self.num_classes, dtype=jnp.float32, name="cls"
+                )(x)
+        else:
+            if self.combine.endswith("mlp"):
+                x = nn.Dense(d, dtype=self.dtype, name="cls_fc")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=jnp.float32, name="cls_bn",
+                )(x)
+                x = nn.relu(x)
+            logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(x)
+        return logits, tuple(latents), tuple(contrast_feats), tuple(stage_logits)
 
 
 class PointTransformerSeg(nn.Module):
@@ -113,7 +215,11 @@ class PointTransformerSeg(nn.Module):
     use_multihead: bool = True
     multi_combine: str = "concat"
     multi_stages: Optional[Tuple[int, ...]] = None
+    multi_ftype: str = "latent"
+    multi_branch_loss: str = ""
+    multi_condition: str = ""
     contrast_project: str = ""
+    contrast_ftype: str = "latent"
     # rematerialize transformer blocks in backward (the reference's
     # memory_saving_gradients monkey-patch, tensorflow/main.py:70-72)
     save_memory: bool = False
@@ -176,9 +282,12 @@ class PointTransformerSeg(nn.Module):
             up_feats[l] = x
 
         if self.use_multihead:
-            logits, latents, contrast_feats = MultiHead(
+            logits, latents, contrast_feats, stage_logits = MultiHead(
                 self.num_classes, self.base_fdim, combine=self.multi_combine,
                 stages=self.multi_stages, project=self.contrast_project,
+                ftype=self.multi_ftype, contrast_ftype=self.contrast_ftype,
+                branch_loss=self.multi_branch_loss,
+                condition=self.multi_condition,
                 dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:
@@ -188,6 +297,7 @@ class PointTransformerSeg(nn.Module):
             logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(y)
             latents = tuple()
             contrast_feats = tuple()
+            stage_logits = tuple()
 
         return ModelOutput(
             logits=logits.astype(jnp.float32),
@@ -195,4 +305,5 @@ class PointTransformerSeg(nn.Module):
             up_feats=tuple(up_feats),
             latents=latents,
             contrast_feats=contrast_feats,
+            stage_logits=stage_logits,
         )

@@ -29,6 +29,11 @@ class TrainStepConfig:
     spec: PyramidSpec
     contrast: Optional[ContrastConfig] = None
     ignore_label: int = -1
+    # per-stage branch supervision (multi head 'loss'/'lossSub' tokens;
+    # reference multiscale branch segment, tensorflow/models/heads/head.py:
+    # 374-383 + mlp_head.pred :289-335)
+    branch_loss: str = ""  # '' | 'loss' (U0 labels) | 'lossSub' (soft labels)
+    branch_weight: float = 1.0
 
 
 def make_train_step(model, cfg: TrainStepConfig) -> Callable:
@@ -49,6 +54,32 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
             ce = cross_entropy(out.logits, batch["labels"], cfg.ignore_label)
             total = ce
             metrics = {"ce": ce}
+            if cfg.branch_loss and any(
+                sl is not None for sl in out.stage_logits
+            ):
+                from ..core.gather import batch_gather
+                from ..losses.contrast import subscene_labels
+                from ..losses.segmentation import soft_cross_entropy
+
+                for i, sl in enumerate(out.stage_logits):
+                    if sl is None:
+                        continue
+                    if cfg.branch_loss == "lossSub":
+                        # stage-local soft labels (head.py:303-317)
+                        soft = subscene_labels(
+                            batch["labels"], pyramid.subscene_idx[i],
+                            cfg.num_classes, cfg.ignore_label,
+                        )
+                        bl = soft_cross_entropy(sl, soft)
+                    else:  # 'loss': upsample logits to U0, full labels
+                        l0 = sl if i == 0 else batch_gather(
+                            sl, pyramid.near0_idx[i]
+                        )
+                        bl = cross_entropy(
+                            l0, batch["labels"], cfg.ignore_label
+                        )
+                    total = total + cfg.branch_weight * bl
+                    metrics[f"branch_stage{i}"] = bl
             if cfg.contrast is not None:
                 cfeats = (
                     out.contrast_feats
@@ -89,11 +120,18 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
     return jax.jit(train_step, donate_argnums=0)
 
 
-def make_eval_step(model, cfg: TrainStepConfig) -> Callable:
-    """Returns jitted (state, batch) → (probs [B,N,C], confusion).
+def make_eval_step(
+    model, cfg: TrainStepConfig, with_features: bool = False
+) -> Callable:
+    """Returns jitted (state, batch) → (probs [B,N,C], confusion[, feats]).
 
     Inference needs no contrast/sub-scene KNNs — the eval pyramid drops them
-    (the level-0 contrast search is one of the most expensive KNNs)."""
+    (the level-0 contrast search is one of the most expensive KNNs).
+
+    with_features=True additionally returns a dict of per-stage latents
+    upsampled (nearest) to level 0 — the reference's per-stage feature
+    extraction during eval (tensorflow/utils/tester.py:51-96), feeding the
+    feature-distance-across-boundary stats (:817-886)."""
     eval_spec = dataclasses.replace(
         cfg.spec, k_contrast=None, with_subscene=False
     )
@@ -111,7 +149,18 @@ def make_eval_step(model, cfg: TrainStepConfig) -> Callable:
         conf = confusion_matrix(
             pred, batch["labels"], cfg.num_classes, cfg.ignore_label
         )
-        return probs, conf
+        if not with_features:
+            return probs, conf
+        from ..core.gather import batch_gather
+
+        feats = {}
+        for i, lat in enumerate(out.latents):
+            if lat is None:
+                continue
+            feats[f"latent{i}"] = (
+                lat if i == 0 else batch_gather(lat, pyramid.near0_idx[i])
+            )
+        return probs, conf, feats
 
     return jax.jit(eval_step)
 

@@ -1,0 +1,227 @@
+"""Head option space + DSL completeness (round-1 review items 6/7).
+
+Covers: DSL round-trip over the reference's published op-strings
+(tensorflow/config/s3dis.py:147-185, scannet.py), loud failure on unwired
+tokens, multi ftype logits/probs/f_out, sum combine, branch per-stage losses
+(incl. the downsampled-stage soft-label xen, head.py:303-317) and the
+condition segment (head.py:425-447).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from contrastboundary_tpu.config.dsl import (
+    parse_arch_out,
+    parse_contrast_ops,
+    parse_multi_ops,
+)
+from contrastboundary_tpu.models import PointTransformerSeg
+from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+
+SPEC = PyramidSpec(
+    strides=(1, 4, 4),
+    k_self=(8, 8, 8),
+    k_down=(8, 8, 8),
+    k_contrast=(8, 8, 8),
+    with_subscene=True,
+    sampler="fps",
+)
+
+# every published arch_out from the reference's preset generators
+# (tensorflow/config/s3dis.py:147-185 Conv/Pospool `_ops`; the leading ''
+# segment selects the default backbone)
+PUBLISHED_OP_STRINGS = [
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-mT.3-w.1",
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-mT.5-w.1",
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-mT2-w.1",
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-mT3-w.1",
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-mT5-w.1",
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl.5-l2-w.1",
+    "|multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl.5-l2-mT.5-w.1",
+    "pospool|multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+    # contrast head option matrix (tensorflow/config/head.py:119-139)
+    "multi-Ua-concat-latent|contrast-Ua-softnn-latent-label_nst-l2-w.1",
+    "multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl.3-l2-w.1",
+    "multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl1-l2-w.1",
+    "multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl2-l2-w.1",
+]
+
+
+def test_dsl_round_trip_published_op_strings():
+    for s in PUBLISHED_OP_STRINGS:
+        # 'label_nst' appears underscore-joined in reference names; our
+        # grammar takes it as two tokens
+        heads = parse_arch_out(s.replace("label_nst", "label-nst"))
+        assert "multi" in heads and "contrast" in heads, s
+        c = heads["contrast"]
+        assert c.contrast == "softnn" and c.dist == "l2"
+        assert c.weight == pytest.approx(0.1)
+        assert c.stages == (0, 1, 2, 3, 4)
+    kl = parse_contrast_ops("contrast-Ua-softnn-latent-labelkl.5-l2-mT.5-w.1")
+    assert kl.pos == "kl" and kl.kl_threshold == 0.5 and kl.temperature == 0.5
+
+
+def test_dsl_rejects_unwired_tokens():
+    for bad in ["glb", "sub", "subspatial", "pts", "vote"]:
+        with pytest.raises(NotImplementedError):
+            parse_contrast_ops(f"contrast-Ua-softnn-latent-{bad}-l2-w.1")
+    with pytest.raises(ValueError):
+        parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-w.1-banana")
+    with pytest.raises(ValueError):
+        parse_multi_ops("multi-Ua-concat-latent-banana")
+
+
+def test_dsl_contrast_ftype_and_multi_tokens():
+    c = parse_contrast_ops("contrast-Ua-softnn-logits-label-kl-w.1")
+    assert c.ftype == "logits" and c.dist == "kl"
+    m = parse_multi_ops("multi-Ua-sum-logits")
+    assert m["combine"] == "sum" and m["ftype"] == "logits"
+    m = parse_multi_ops("multi-Ua-concat-latent-lossSub.5")
+    assert m["branch_loss"] == "lossSub" and m["branch_weight"] == 0.5
+    m = parse_multi_ops("multi-Ua-concat-latent-loss.3")
+    assert m["branch_loss"] == "loss" and m["branch_weight"] == 0.3
+    m = parse_multi_ops("multi-Ua-concat-latent-concat1")
+    assert m["condition"] == "concat1"
+    m = parse_multi_ops("multi-Ua-concatmlp-fout")
+    assert m["ftype"] == "f_out"
+
+
+def _inputs(rng, b=1, n=64):
+    pts = rng.rand(b, n, 3).astype(np.float32)
+    feats = rng.rand(b, n, 3).astype(np.float32)
+    labels = rng.randint(0, 5, (b, n)).astype(np.int32)
+    pyr = build_pyramid(jnp.asarray(pts), SPEC)
+    return jnp.asarray(feats), jnp.asarray(labels), pyr
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(multi_ftype="logits"),
+        dict(multi_ftype="probs"),
+        dict(multi_ftype="f_out"),
+        dict(multi_ftype="logits", multi_combine="sum"),
+        dict(multi_ftype="latent", multi_combine="sum"),
+        dict(multi_condition="concat1"),
+        dict(multi_condition="sumA"),
+        dict(contrast_ftype="logits"),
+        dict(contrast_ftype="probs"),
+        dict(contrast_ftype="f_out"),
+    ],
+)
+def test_multihead_option_matrix_forward(rng, kw):
+    feats, labels, pyr = _inputs(rng)
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, **kw,
+    )
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=False)
+    out = model.apply(variables, feats, pyr, train=False)
+    assert out.logits.shape == (1, 64, 5)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    if kw.get("contrast_ftype") in ("logits", "probs"):
+        assert out.contrast_feats[1].shape[-1] == 5
+    if kw.get("contrast_ftype") == "f_out":
+        assert out.contrast_feats[1].shape[-1] == 16
+
+
+def test_branch_loss_sub_train_step(rng):
+    """Per-stage soft-label xen (lossSub) must run inside the jitted train
+    step, produce finite per-stage metrics and gradients on branch heads."""
+    from contrastboundary_tpu.train import (
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from contrastboundary_tpu.train.state import make_optimizer
+
+    feats, labels, pyr = _inputs(rng)
+    pts = np.asarray(pyr.points[0])
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, multi_branch_loss="lossSub",
+    )
+    cfg = TrainStepConfig(
+        num_classes=5, spec=SPEC, contrast=None,
+        branch_loss="lossSub", branch_weight=0.5,
+    )
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=True)
+    state = create_train_state(variables, make_optimizer(0.01))
+    step = make_train_step(model, cfg)
+    batch = {"points": jnp.asarray(pts), "features": feats, "labels": labels}
+    state, metrics = step(state, batch)
+    for i in range(3):
+        assert np.isfinite(float(metrics[f"branch_stage{i}"])), i
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_branch_loss_u0_train_step(rng):
+    from contrastboundary_tpu.train import (
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from contrastboundary_tpu.train.state import make_optimizer
+
+    feats, labels, pyr = _inputs(rng)
+    pts = np.asarray(pyr.points[0])
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, multi_branch_loss="loss",
+    )
+    cfg = TrainStepConfig(
+        num_classes=5, spec=SPEC, contrast=None,
+        branch_loss="loss", branch_weight=1.0,
+    )
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=True)
+    state = create_train_state(variables, make_optimizer(0.01))
+    step = make_train_step(model, cfg)
+    batch = {"points": jnp.asarray(pts), "features": feats, "labels": labels}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "branch_stage2" in metrics
+
+
+def test_soft_cross_entropy_matches_hard_on_onehot(rng):
+    from contrastboundary_tpu.losses.segmentation import (
+        cross_entropy,
+        soft_cross_entropy,
+    )
+
+    logits = jnp.asarray(rng.randn(2, 16, 5).astype(np.float32))
+    labels = rng.randint(0, 5, (2, 16)).astype(np.int32)
+    labels[0, :3] = -1
+    soft = jax.nn.one_hot(jnp.asarray(labels), 5) * (labels != -1)[..., None]
+    hard = float(cross_entropy(logits, jnp.asarray(labels), -1))
+    softv = float(soft_cross_entropy(logits, soft))
+    np.testing.assert_allclose(hard, softv, rtol=1e-5)
+
+
+def test_eval_step_with_features(rng):
+    """make_eval_step(with_features=True) returns per-stage latents upsampled
+    to level 0 (reference tester.py:51-96 feature extraction)."""
+    from contrastboundary_tpu.train import (
+        TrainStepConfig,
+        create_train_state,
+        make_eval_step,
+    )
+    from contrastboundary_tpu.train.state import make_optimizer
+
+    feats, labels, pyr = _inputs(rng)
+    pts = np.asarray(pyr.points[0])
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8,
+    )
+    cfg = TrainStepConfig(num_classes=5, spec=SPEC)
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr, train=True)
+    state = create_train_state(variables, make_optimizer(0.01))
+    step = make_eval_step(model, cfg, with_features=True)
+    batch = {"points": jnp.asarray(pts), "features": feats, "labels": labels}
+    probs, conf, fdict = step(state, batch)
+    assert set(fdict) == {"latent0", "latent1", "latent2"}
+    for k, v in fdict.items():
+        assert v.shape[:2] == (1, 64), k
+        assert np.isfinite(np.asarray(v)).all(), k
