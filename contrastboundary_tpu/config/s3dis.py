@@ -172,3 +172,39 @@ register_config(
            "multiplier": 0.1, "epochs": 200, "batch_size": 16},
     arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
 )
+
+# Semantic3D / NPM3D ConvNet + CBL. The reference ships the dataset classes
+# (tf_semantic3d_dataset.py, tf_npm3d_dataset.py) but publishes no config
+# module for them; these presets apply the ConvNet recipe with
+# dataset-scale voxel sizes (outdoor scans are far larger than indoor rooms).
+register_config(
+    "semantic3d_conv_cbl",
+    data={"dataset": "semantic3d", "voxel_size": 0.06, "voxel_max": 65536,
+          "n_points": 65536, "loop": 30, "num_classes": 8, "crop_mode": "radius",
+          "in_radius": 3.0},
+    model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
+           "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
+           "base_radius": 0.15,
+           "contrast_nsample": (36, 24, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 400, "batch_size": 8},
+    eval={"num_votes": 20.0, "smooth": 0.98},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+)
+
+register_config(
+    "npm3d_conv_cbl",
+    data={"dataset": "npm3d", "voxel_size": 0.08, "voxel_max": 65536,
+          "n_points": 65536, "loop": 30, "num_classes": 9, "crop_mode": "radius",
+          "in_radius": 4.0},
+    model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
+           "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
+           "base_radius": 0.2,
+           "contrast_nsample": (36, 24, 24, 24, 24)},
+    optim={"base_lr": 0.02, "momentum": 0.98, "weight_decay": 1e-3,
+           "schedule": "exponential", "decay_rate": 0.9885531,
+           "grad_clip_norm": 100.0, "epochs": 400, "batch_size": 8},
+    eval={"num_votes": 20.0, "smooth": 0.98},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
+)

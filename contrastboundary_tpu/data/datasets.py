@@ -120,14 +120,35 @@ class ScanNetDataset(_NpyRoomDataset):
         super().__init__(data_root, names, loop)
 
 
+def _split_dir_names(data_root: str, split: str):
+    """Resolve (dir, names) for a split. The ingest (data/ingest.py) writes
+    `<root>/train` and `<root>/test`; a flat directory of npy files is
+    accepted for backwards compatibility. `*_proj.npy` reprojection files are
+    not rooms."""
+    sub = os.path.join(data_root, "test" if split == "test" else "train")
+    d = sub if os.path.isdir(sub) else data_root
+    names = sorted(
+        f[:-4]
+        for f in os.listdir(d)
+        if f.endswith(".npy") and not f.endswith("_proj.npy")
+    )
+    return d, names
+
+
 class Semantic3DDataset(_NpyRoomDataset):
     """Semantic3D outdoor scans (8 classes, raw label 0 = unlabeled →
-    ignored)."""
+    ignored). Raw ascii ingest: data/ingest.py::prepare_semantic3d
+    (reference tf_semantic3d_dataset.py:86-333)."""
 
     def __init__(self, data_root: str, split: str = "train", loop: int = 1):
         self.label_map = LabelMap(raw_labels=list(range(9)), ignored=[0])
-        names = sorted(f[:-4] for f in os.listdir(data_root) if f.endswith(".npy"))
-        super().__init__(data_root, names, loop)
+        self.split = split
+        d, names = _split_dir_names(data_root, split)
+        super().__init__(d, names, loop)
+
+    def projection(self, name: str) -> np.ndarray:
+        """Raw-point → subsampled-point index (test submissions)."""
+        return np.load(os.path.join(self.data_root, name + "_proj.npy"))
 
     @staticmethod
     def write_submission(
@@ -153,9 +174,28 @@ class Semantic3DDataset(_NpyRoomDataset):
 
 class NPM3DDataset(_NpyRoomDataset):
     """Paris-Lille-3D (NPM3D): 9 coarse classes, raw 0 = unclassified →
-    ignored."""
+    ignored. Raw ply ingest: data/ingest.py::prepare_npm3d
+    (reference tf_npm3d_dataset.py:150-333)."""
 
     def __init__(self, data_root: str, split: str = "train", loop: int = 1):
         self.label_map = LabelMap(raw_labels=list(range(10)), ignored=[0])
-        names = sorted(f[:-4] for f in os.listdir(data_root) if f.endswith(".npy"))
-        super().__init__(data_root, names, loop)
+        self.split = split
+        d, names = _split_dir_names(data_root, split)
+        super().__init__(d, names, loop)
+
+    def projection(self, name: str) -> np.ndarray:
+        return np.load(os.path.join(self.data_root, name + "_proj.npy"))
+
+    @staticmethod
+    def write_submission(out_dir: str, predictions: Dict[str, np.ndarray]) -> list:
+        """Paris-Lille-3D benchmark format: one ascii `<name>.txt` per scan,
+        one raw class id per line."""
+        os.makedirs(out_dir, exist_ok=True)
+        label_map = LabelMap(raw_labels=list(range(10)), ignored=[0])
+        files = []
+        for name, pred_idx in predictions.items():
+            raw = label_map.inverse(pred_idx)
+            path = os.path.join(out_dir, f"{name}.txt")
+            np.savetxt(path, raw, fmt="%d")
+            files.append(path)
+        return files

@@ -33,6 +33,9 @@ class CloudVoteState:
         n = len(coord)
         self.probs = np.zeros((n, num_classes), np.float32)
         self.counts = np.zeros((n,), np.int64)
+        # optional per-stage feature accumulators (same smoothing as probs) —
+        # the reference's eval feature extraction (tester.py:51-96)
+        self.features: Dict[str, np.ndarray] = {}
         self.potentials = np.random.RandomState(42).rand(n).astype(np.float64) * 1e-3
         self.tree = cKDTree(coord)
 
@@ -60,14 +63,23 @@ class CloudVoteState:
         self.potentials[idx] += np.square(1 - np.square(d) / r2)
         return idx
 
-    def accumulate(self, src_idx, probs, smooth: float):
+    def accumulate(self, src_idx, probs, smooth: float, feats=None):
         """probs [n_points, C] predicted for crop rows mapping to src_idx.
         Duplicate (padded) rows vote multiple times — last write wins within
-        one crop, matching the reference's per-crop single update."""
+        one crop, matching the reference's per-crop single update.
+        feats: optional {name: [n_points, d]} per-stage features, smoothed
+        like probs."""
         uniq, first = np.unique(src_idx, return_index=True)
         p = probs[first]
         self.probs[uniq] = smooth * self.probs[uniq] + (1 - smooth) * p
         self.counts[uniq] += 1
+        if feats:
+            n = len(self.coord)
+            for k, v in feats.items():
+                acc = self.features.setdefault(
+                    k, np.zeros((n, v.shape[-1]), np.float32)
+                )
+                acc[uniq] = smooth * acc[uniq] + (1 - smooth) * v[first]
 
     def predictions(self):
         return self.probs.argmax(-1)
@@ -152,9 +164,19 @@ class VotingEvaluator:
                     extra = rng.integers(0, len(idx), self.n_points - len(idx))
                     idx = np.concatenate([idx, idx[extra]])
                 crops.append((c, idx))
-            probs = np.asarray(self.predict_fn(self._make_batch(crops)))
-            for (c, idx), p in zip(crops, probs):
-                c.accumulate(idx, p, self.smooth)
+            out = self.predict_fn(self._make_batch(crops))
+            # predict_fn returns probs [B,N,C], or (probs, {name: [B,N,d]})
+            # when per-stage features are extracted for the boundary stats
+            feats_b = None
+            if isinstance(out, tuple):
+                out, feats_b = out
+                feats_b = {k: np.asarray(v) for k, v in feats_b.items()}
+            probs = np.asarray(out)
+            for j, ((c, idx), p) in enumerate(zip(crops, probs)):
+                fj = (
+                    {k: v[j] for k, v in feats_b.items()} if feats_b else None
+                )
+                c.accumulate(idx, p, self.smooth, feats=fj)
             step += 1
             if progress and step % 20 == 0:
                 progress(step, min(c.min_potential() for c in self.clouds))
@@ -166,14 +188,19 @@ class VotingEvaluator:
         c = self.num_classes
         conf_sub = np.zeros((c, c), np.float64)
         conf_full = np.zeros((c, c), np.float64)
+        props = np.zeros(c, np.float64)
         for cs, full_label, proj in zip(self.clouds, self.full_labels, self.proj):
             pred = cs.predictions()
             vs = cs.label >= 0  # ignore-labeled points excluded (label -1)
             np.add.at(conf_sub, (cs.label[vs], pred[vs]), 1)
             vf = full_label >= 0
             np.add.at(conf_full, (full_label[vf], pred[proj][vf]), 1)
+            props += np.bincount(full_label[vf], minlength=c)
         out = {
-            "sub": metrics_from_confusion(conf_sub),
+            # sub-cloud metrics are proportion-rebalanced to the FULL clouds'
+            # class counts — the reference's val_proportions rescaling
+            # (tensorflow/utils/tester.py:205, utils/metrics.py:119-160)
+            "sub": metrics_from_confusion(conf_sub, proportions=props),
             "full": metrics_from_confusion(conf_full),
         }
         return out

@@ -66,11 +66,14 @@ def setup(cfg, logger):
 
     model = cfg.build_model()
     spec = cfg.pyramid_spec()
+    multi = cfg.heads.get("multi", {})
     step_cfg = TrainStepConfig(
         num_classes=cfg.data.num_classes,
         spec=spec,
         contrast=cfg.contrast,
         ignore_label=cfg.data.ignore_label,
+        branch_loss=multi.get("branch_loss", ""),
+        branch_weight=multi.get("branch_weight", 1.0),
     )
 
     train_ds = build_dataset(cfg, "train")
@@ -109,7 +112,17 @@ def setup(cfg, logger):
                 f"{steps_per_epoch} steps/epoch")
     state = create_train_state(variables, tx)
 
-    mesh = make_mesh()
+    # the data mesh must evenly divide both the train and eval batch sizes;
+    # use the largest device count that does (all devices in production
+    # shapes, fewer when a smoke config's batch is smaller than the mesh)
+    import math
+
+    ndev = len(jax.devices())
+    g = math.gcd(cfg.optim.batch_size, cfg.eval.batch_size)
+    d = max(k for k in range(1, min(g, ndev) + 1) if g % k == 0)
+    if d < ndev:
+        logger.info(f"mesh: using {d}/{ndev} devices (batch divisibility)")
+    mesh = make_mesh(jax.devices()[:d])
     state = jax.device_put(state, replicated_sharding(mesh))
     return model, spec, step_cfg, state, mesh, train_ds, steps_per_epoch
 
@@ -129,8 +142,13 @@ def run_eval(
     from .train import make_eval_step
 
     ctx = ctx if ctx is not None else {}
+    # 'feature' in extra_ops → extract per-stage latents during eval for the
+    # feature-distance-across-boundary stats (reference tester.py:51-96)
+    with_features = bool(extra_ops) and "feature" in extra_ops
     if "eval_step" not in ctx:
-        ctx["eval_step"] = make_eval_step(model, step_cfg)
+        ctx["eval_step"] = make_eval_step(
+            model, step_cfg, with_features=with_features
+        )
         ctx["val_ds"] = build_dataset(cfg, "val")
     eval_step = ctx["eval_step"]
     ctx["state"] = state  # current params for the cached predict closure
@@ -139,9 +157,13 @@ def run_eval(
         b = dict(batch)
         b["labels"] = np.zeros(b["points"].shape[:2], np.int32)
         b = shard_batch(mesh, b)
-        probs, _ = eval_step(
+        out = eval_step(
             ctx["state"], {k: b[k] for k in ("points", "features", "labels")}
         )
+        if with_features:
+            probs, _, feats = out
+            return jax.device_get(probs), jax.device_get(feats)
+        probs, _ = out
         return jax.device_get(probs)
 
     if "evaluator" not in ctx:
@@ -169,7 +191,10 @@ def run_eval(
         )
         clouds = []
         for cs in ev.clouds:
-            bev.add_cloud(cs.coord, cs.label.astype(np.int64), cs.probs)
+            bev.add_cloud(
+                cs.coord, cs.label.astype(np.int64), cs.probs,
+                features=cs.features or None,
+            )
             clouds.append(
                 {"coord": cs.coord, "label": cs.label, "prob": cs.probs}
             )
@@ -187,6 +212,14 @@ def run_eval(
             f"  prob-kl across boundary: pos {d['pos']:.4f} neg {d['neg']:.4f} "
             f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
         )
+        # feature-distance-across-boundary stats (tester.py:817-886)
+        for key in sorted(br):
+            if key.startswith("dist_latent"):
+                d = br[key]
+                logger.info(
+                    f"  {key}: pos {d['pos']:.4f} neg {d['neg']:.4f} "
+                    f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
+                )
         if h5_path:
             save_eval_h5(h5_path, clouds)
             logger.info(f"saved eval artifacts to {h5_path}")
@@ -298,6 +331,81 @@ def validate(cfg, logger, exp_dir: str, model_path: str, extra_ops: str = ""):
     )
 
 
+def run_test(cfg, logger, exp_dir: str, model_path: str, out_dir: str = ""):
+    """Test-split inference + benchmark submission (reference
+    tensorflow/main.py:110-147 `--mode test`, utils/tester.py:222-327
+    `test_vote_seg` + `project_test_predictions`).
+
+    Flow: voting inference over the (unlabeled) test rooms with the test
+    smoothing 0.98 (tester.py:235), argmax on the voted sub-cloud, reproject
+    to every raw point via the ingest's KDTree indices, inverse label remap,
+    write the benchmark's ascii files (+ zip for Semantic3D)."""
+    import jax
+
+    from .eval.voting import VotingEvaluator
+    from .parallel import shard_batch
+    from .train import make_eval_step
+    from .train.checkpoint import CheckpointManager
+
+    model, spec, step_cfg, state, mesh, _, _ = setup(cfg, logger)
+    ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    state, skipped = ckpt.restore(state, model_path)
+    logger.info(f"restored step {int(state.step)} (skipped {len(skipped)})")
+
+    test_ds = build_dataset(cfg, "test")
+    eval_step = make_eval_step(model, step_cfg)
+
+    def predict(batch):
+        b = dict(batch)
+        b["labels"] = np.zeros(b["points"].shape[:2], np.int32)
+        b = shard_batch(mesh, b)
+        probs, _ = eval_step(
+            state, {k: b[k] for k in ("points", "features", "labels")}
+        )
+        return jax.device_get(probs)
+
+    ev = VotingEvaluator(
+        test_ds, predict, cfg.data.num_classes, cfg.data.n_points,
+        batch_size=cfg.eval.batch_size, voxel_size=cfg.data.voxel_size,
+        num_votes=cfg.eval.num_votes, smooth=0.98, seed=cfg.seed,
+    )
+    ev.run(progress=lambda s, p: logger.info(f"  test vote step {s}, min_pot {p:.2f}"))
+
+    predictions = {}
+    for r in range(test_ds.num_rooms):
+        name = test_ds.names[r]
+        # voted sub-cloud → npy-level full cloud (ev.proj) → raw scan points
+        pred_npy = ev.clouds[r].predictions()[ev.proj[r]]
+        try:
+            raw_proj = test_ds.projection(name)
+            pred_raw = pred_npy[raw_proj]
+        except (FileNotFoundError, AttributeError):
+            logger.info(f"{name}: no raw projection file — submitting npy-level")
+            pred_raw = pred_npy
+        predictions[name] = pred_raw
+        logger.info(f"{name}: {len(pred_raw)} point predictions")
+
+    out_dir = out_dir or os.path.join(exp_dir, "submission")
+    if cfg.data.dataset == "semantic3d":
+        from .data.datasets import Semantic3DDataset
+
+        zpath = Semantic3DDataset.write_submission(out_dir, predictions)
+        logger.info(f"submission zip: {zpath}")
+        return zpath
+    if cfg.data.dataset == "npm3d":
+        from .data.datasets import NPM3DDataset
+
+        files = NPM3DDataset.write_submission(out_dir, predictions)
+        logger.info(f"submission files: {len(files)} in {out_dir}")
+        return out_dir
+    # datasets without an external benchmark: persist raw predictions
+    os.makedirs(out_dir, exist_ok=True)
+    for name, pred in predictions.items():
+        np.save(os.path.join(out_dir, f"{name}_pred.npy"), pred)
+    logger.info(f"saved raw predictions to {out_dir}")
+    return out_dir
+
+
 def check_pipeline(cfg, logger, num_batches: int = 8):
     """Input-pipeline check harness: runs the batch iterator standalone and
     reports timing + label/occupancy histograms (the reference's
@@ -340,14 +448,18 @@ def check_pipeline(cfg, logger, num_batches: int = 8):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="contrastboundary_tpu")
     parser.add_argument("-c", "--config", default="synthetic_tiny")
-    parser.add_argument("--mode", default="train", choices=["train", "val", "check"])
+    parser.add_argument("--mode", default="train",
+                        choices=["train", "val", "test", "check"])
     parser.add_argument("--set", dest="sets", default=None,
                         help="overrides a.b:v;c.d:v")
     parser.add_argument("--model_path", default="auto",
                         help="val mode: auto | best | <path>")
     parser.add_argument("--extra_ops", default="boundary-stat",
-                        help="val mode extras: boundary | stat | save (h5)")
+                        help="val mode extras: boundary | stat | feature "
+                             "(per-stage latent boundary distances) | save (h5)")
     parser.add_argument("--exp_dir", default=None)
+    parser.add_argument("--out_dir", default="",
+                        help="test mode: submission output directory")
     args = parser.parse_args(argv)
 
     from .config import load_config
@@ -357,8 +469,8 @@ def main(argv=None):
     exp_dir = args.exp_dir or os.path.join(
         cfg.save_path, cfg.data.dataset, cfg.name, time.strftime("Log_%m%d_%H%M%S")
     )
-    if args.mode == "val" and args.exp_dir is None:
-        raise SystemExit("--mode val requires --exp_dir pointing at a train run")
+    if args.mode in ("val", "test") and args.exp_dir is None:
+        raise SystemExit(f"--mode {args.mode} requires --exp_dir pointing at a train run")
     os.makedirs(exp_dir, exist_ok=True)
     logger = setup_logger(log_file=os.path.join(exp_dir, f"log_{args.mode}.txt"))
     logger.info(f"config {cfg.name}: heads={list(cfg.heads)} exp_dir={exp_dir}")
@@ -376,6 +488,8 @@ def main(argv=None):
         train(cfg, logger, exp_dir)
     elif args.mode == "check":
         check_pipeline(cfg, logger)
+    elif args.mode == "test":
+        run_test(cfg, logger, exp_dir, args.model_path, args.out_dir)
     else:
         validate(cfg, logger, exp_dir, args.model_path, args.extra_ops)
 

@@ -95,3 +95,71 @@ def test_metrics_exclude_ignore_labels(rng):
     total = m["sub"]["confusion"].sum()
     assert total <= (labels >= 0).sum()
     assert m["sub"]["confusion"][:, 1].sum() == 0  # nothing predicted as 1
+
+def test_sub_metrics_proportion_rebalanced(rng):
+    """Sub-cloud metrics must be rescaled to the FULL clouds' class counts
+    (reference tester.py:205 + metrics.py:119-160) — round-1 review fix."""
+    coord = rng.rand(400, 3).astype(np.float32)
+    label = (coord[:, 0] > 0.75).astype(np.int32)  # imbalanced classes
+
+    class Dummy:
+        num_rooms = 1
+
+        def room(self, r):
+            return coord, np.zeros_like(coord), label
+
+    def predict(batch):
+        return np.tile([0.9, 0.1], (*batch["points"].shape[:2], 1)).astype(
+            np.float32
+        )
+
+    ev = VotingEvaluator(
+        Dummy(), predict, 2, n_points=64, batch_size=1,
+        voxel_size=0.2, num_votes=0.5, smooth=0.5, seed=0,
+    )
+    m = ev.run(max_steps=200)
+    # the rebalanced sub confusion's row sums equal the FULL cloud class
+    # counts, not the subsampled ones
+    conf = m["sub"]["confusion"]
+    full_counts = np.bincount(label, minlength=2)
+    np.testing.assert_allclose(conf.sum(1), full_counts, rtol=1e-3)
+
+
+def test_voting_feature_accumulation_and_boundary_dist(rng):
+    """predict_fn returning (probs, features) accumulates per-stage features
+    and the boundary evaluator reports dist_latent* stats."""
+    from contrastboundary_tpu.eval.boundary import BoundaryEvaluator
+
+    coord = rng.rand(300, 3).astype(np.float32)
+    label = (coord[:, 0] > 0.5).astype(np.int32)
+
+    class Dummy:
+        num_rooms = 1
+
+        def room(self, r):
+            return coord, np.zeros_like(coord), label
+
+    def predict(batch):
+        b, n = batch["points"].shape[:2]
+        probs = np.tile([0.7, 0.3], (b, n, 1)).astype(np.float32)
+        feats = {"latent0": batch["points"].astype(np.float32)}
+        return probs, feats
+
+    ev = VotingEvaluator(
+        Dummy(), predict, 2, n_points=64, batch_size=1,
+        voxel_size=0.15, num_votes=0.5, smooth=0.5, seed=0,
+    )
+    ev.run(max_steps=200)
+    cs = ev.clouds[0]
+    assert "latent0" in cs.features
+    assert cs.features["latent0"].shape == (len(cs.coord), 3)
+    assert np.abs(cs.features["latent0"]).sum() > 0
+
+    bev = BoundaryEvaluator(2, radius=0.3)
+    bev.add_cloud(cs.coord, cs.label.astype(np.int64), cs.probs,
+                  features=cs.features)
+    r = bev.results()
+    keys = [k for k in r if k.startswith("dist_latent0")]
+    assert keys, list(r)
+    for k in keys:
+        assert np.isfinite(r[k]["pos"]) and np.isfinite(r[k]["neg"])
