@@ -1,0 +1,146 @@
+"""Whole-scene voxel-duplicate enumeration inference — the point-transformer
+stack's test protocol (pytorch/tool/test.py:128-238), behind the published
+71.6 mIoU.
+
+Protocol per room:
+  1. val-mode voxelize keeps EVERY point grouped by voxel (util/voxelize.py
+     mode 1); pass i selects duplicate `i % count` of each voxel
+     (test.py:140-144), so over max(count) passes every point is selected.
+  2. a pass larger than voxel_max goes through the potential-min crop loop
+     until all its points are covered (test.py:197-217).
+  3. parts are batched and the network's LOGITS (not probs) accumulate into
+     a full-cloud array (test.py:225-238, cumulate_probs).
+
+TPU adaptation: each part is padded by repetition to the static `n_points`
+(one device shape for the whole run); padded duplicates accumulate once via
+unique-first selection — part indices are unique by construction, exactly the
+reference's per-part single add.
+"""
+from __future__ import annotations
+
+from typing import Callable, List
+
+import numpy as np
+
+from ..data.pipeline import voxelize
+
+
+class EnumerateEvaluator:
+    """Runs the enumeration protocol over all rooms of a dataset split."""
+
+    def __init__(
+        self,
+        dataset,
+        predict_fn: Callable,
+        num_classes: int,
+        n_points: int,
+        batch_size: int = 4,
+        voxel_size: float = 0.04,
+        voxel_max: int = 0,
+        seed: int = 0,
+    ):
+        """predict_fn: {points, features} [B,N,...] → LOGITS [B,N,C]."""
+        self.dataset = dataset
+        self.predict_fn = predict_fn
+        self.num_classes = num_classes
+        self.n_points = n_points
+        self.batch_size = batch_size
+        self.voxel_size = voxel_size
+        self.voxel_max = voxel_max or n_points
+        self.seed = seed
+        self.logits: List[np.ndarray] = []  # per-room accumulated logits
+        self.labels: List[np.ndarray] = []
+        self.coords: List[np.ndarray] = []
+        self.pred_counts: List[np.ndarray] = []
+
+    def _make_parts(self, coord: np.ndarray, rng) -> List[np.ndarray]:
+        n = len(coord)
+        if not self.voxel_size:
+            passes = [np.arange(n)]
+        else:
+            order, counts = voxelize(coord, self.voxel_size, mode="val")
+            starts = np.cumsum(np.insert(counts, 0, 0))[:-1]
+            passes = [
+                order[starts + i % counts] for i in range(int(counts.max()))
+            ]
+        parts: List[np.ndarray] = []
+        for part in passes:
+            if len(part) <= self.voxel_max:
+                parts.append(part)
+                continue
+            # potential-min crop loop (test.py:197-217)
+            cp = coord[part]
+            pot = rng.random(len(part)) * 1e-3
+            covered = np.zeros(len(part), bool)
+            while not covered.all():
+                center = int(np.argmin(pot))
+                d2 = np.sum((cp - cp[center]) ** 2, axis=1)
+                crop = np.argsort(d2)[: self.voxel_max]
+                d2c = d2[crop]
+                pot[crop] += np.square(1 - d2c / max(d2c.max(), 1e-9))
+                covered[crop] = True
+                parts.append(part[crop])
+        return parts
+
+    def _run_parts(self, coord, feat, parts, logits_acc, counts, rng):
+        for s in range(0, len(parts), self.batch_size):
+            group = parts[s : s + self.batch_size]
+            pts, fts, srcs = [], [], []
+            for part in group:
+                src = part
+                if len(src) < self.n_points:
+                    extra = rng.integers(0, len(src), self.n_points - len(src))
+                    src = np.concatenate([src, src[extra]])
+                elif len(src) > self.n_points:  # only if n_points < voxel_max
+                    src = src[: self.n_points]
+                c = coord[src]
+                pts.append(c - c.min(0))
+                fts.append(feat[src] / 255.0)
+                srcs.append(src)
+            while len(pts) < self.batch_size:  # static batch shape
+                pts.append(pts[-1])
+                fts.append(fts[-1])
+                srcs.append(None)
+            logits = np.asarray(
+                self.predict_fn(
+                    {
+                        "points": np.stack(pts).astype(np.float32),
+                        "features": np.stack(fts).astype(np.float32),
+                    }
+                )
+            )
+            for src, lg in zip(srcs, logits):
+                if src is None:
+                    continue
+                uniq, first = np.unique(src, return_index=True)
+                logits_acc[uniq] += lg[first]
+                counts[uniq] += 1
+
+    def run(self, progress=None) -> dict:
+        rng = np.random.default_rng(self.seed)
+        for r in range(self.dataset.num_rooms):
+            coord, feat, label = self.dataset.room(r)
+            coord = (coord - coord.min(0)).astype(np.float32)
+            logits_acc = np.zeros((len(coord), self.num_classes), np.float32)
+            counts = np.zeros(len(coord), np.int64)
+            parts = self._make_parts(coord, rng)
+            self._run_parts(coord, feat, parts, logits_acc, counts, rng)
+            assert (counts > 0).all(), "enumeration missed points"
+            self.logits.append(logits_acc)
+            self.labels.append(label.astype(np.int64))
+            self.coords.append(coord)
+            self.pred_counts.append(counts)
+            if progress:
+                progress(r, len(parts))
+        return self.metrics()
+
+    def metrics(self) -> dict:
+        from .metrics import metrics_from_confusion
+
+        c = self.num_classes
+        conf = np.zeros((c, c), np.float64)
+        for lg, lab in zip(self.logits, self.labels):
+            pred = lg.argmax(-1)
+            v = lab >= 0
+            np.add.at(conf, (lab[v], pred[v]), 1)
+        return {"full": metrics_from_confusion(conf)}

@@ -315,7 +315,10 @@ def train(cfg, logger, exp_dir: str):
     return best_miou
 
 
-def validate(cfg, logger, exp_dir: str, model_path: str, extra_ops: str = ""):
+def validate(
+    cfg, logger, exp_dir: str, model_path: str, extra_ops: str = "",
+    protocol: str = "voting",
+):
     from .train.checkpoint import CheckpointManager
 
     model, spec, step_cfg, state, mesh, _, _ = setup(cfg, logger)
@@ -324,11 +327,62 @@ def validate(cfg, logger, exp_dir: str, model_path: str, extra_ops: str = ""):
     if skipped:
         logger.info(f"partial restore skipped {len(skipped)} leaves")
     logger.info(f"restored step {int(state.step)}")
+    if protocol == "enumerate":
+        return run_enumerate_eval(
+            cfg, model, step_cfg, state, mesh, logger, extra_ops=extra_ops
+        )
     h5 = os.path.join(exp_dir, f"val_{int(state.step)}.h5") if "save" in extra_ops else ""
     return run_eval(
         cfg, model, step_cfg, state, mesh, logger,
         extra_ops=extra_ops, h5_path=h5,
     )
+
+
+def run_enumerate_eval(cfg, model, step_cfg, state, mesh, logger, extra_ops=""):
+    """Whole-scene voxel-duplicate enumeration protocol (pytorch/tool/
+    test.py:128-238) — every point of every room receives a prediction;
+    LOGITS accumulate across passes."""
+    import jax
+
+    from .eval.enumerate import EnumerateEvaluator
+    from .parallel import shard_batch
+    from .train import make_eval_step
+
+    eval_step = make_eval_step(model, step_cfg, output="logits")
+
+    def predict(batch):
+        b = dict(batch)
+        b["labels"] = np.zeros(b["points"].shape[:2], np.int32)
+        b = shard_batch(mesh, b)
+        logits, _ = eval_step(
+            state, {k: b[k] for k in ("points", "features", "labels")}
+        )
+        return jax.device_get(logits)
+
+    ds = build_dataset(cfg, "val")
+    ev = EnumerateEvaluator(
+        ds, predict, cfg.data.num_classes, cfg.data.n_points,
+        batch_size=cfg.eval.batch_size, voxel_size=cfg.data.voxel_size,
+        voxel_max=cfg.data.voxel_max, seed=cfg.seed,
+    )
+    m = ev.run(
+        progress=lambda r, p: logger.info(f"  room {r}: {p} parts predicted")
+    )
+    logger.info(
+        f"enumerate val: full mIoU {m['full']['mIoU']:.4f} "
+        f"OA {m['full']['OA']:.4f} mACC {m['full']['mACC']:.4f}"
+    )
+    if extra_ops and "boundary" in extra_ops:
+        from .eval.boundary import BoundaryEvaluator
+
+        bev = BoundaryEvaluator(cfg.data.num_classes, radius=cfg.model.base_radius)
+        for coord, lab, lg in zip(ev.coords, ev.labels, ev.logits):
+            e = np.exp(lg - lg.max(-1, keepdims=True))
+            bev.add_cloud(coord, lab, e / e.sum(-1, keepdims=True))
+        br = bev.results()
+        m["boundary"] = br
+        logger.info(f"enumerate boundary: B-IoU {br['B-IoU']:.4f}")
+    return m
 
 
 def run_test(cfg, logger, exp_dir: str, model_path: str, out_dir: str = ""):
@@ -460,6 +514,10 @@ def main(argv=None):
     parser.add_argument("--exp_dir", default=None)
     parser.add_argument("--out_dir", default="",
                         help="test mode: submission output directory")
+    parser.add_argument("--protocol", default="voting",
+                        choices=["voting", "enumerate"],
+                        help="val protocol: TF-style voting or the PT stack's "
+                             "whole-scene voxel-duplicate enumeration")
     args = parser.parse_args(argv)
 
     from .config import load_config
@@ -491,7 +549,8 @@ def main(argv=None):
     elif args.mode == "test":
         run_test(cfg, logger, exp_dir, args.model_path, args.out_dir)
     else:
-        validate(cfg, logger, exp_dir, args.model_path, args.extra_ops)
+        validate(cfg, logger, exp_dir, args.model_path, args.extra_ops,
+                 protocol=args.protocol)
 
 
 if __name__ == "__main__":

@@ -121,9 +121,13 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
 
 
 def make_eval_step(
-    model, cfg: TrainStepConfig, with_features: bool = False
+    model, cfg: TrainStepConfig, with_features: bool = False,
+    output: str = "probs",
 ) -> Callable:
     """Returns jitted (state, batch) → (probs [B,N,C], confusion[, feats]).
+
+    output='logits' returns raw logits instead of probs — the enumerate
+    protocol accumulates logits (pytorch/tool/test.py:330-352).
 
     Inference needs no contrast/sub-scene KNNs — the eval pyramid drops them
     (the level-0 contrast search is one of the most expensive KNNs).
@@ -144,7 +148,11 @@ def make_eval_step(
             pyramid,
             train=False,
         )
-        probs = jax.nn.softmax(out.logits, axis=-1)
+        probs = (
+            out.logits
+            if output == "logits"
+            else jax.nn.softmax(out.logits, axis=-1)
+        )
         pred = jnp.argmax(out.logits, axis=-1)
         conf = confusion_matrix(
             pred, batch["labels"], cfg.num_classes, cfg.ignore_label
