@@ -129,6 +129,15 @@ def _sample(points: jax.Array, m: int, spec: PyramidSpec, level: int = 1) -> jax
         return bucket_fps(points, m, g)
     if spec.sampler == "serialized":
         return serialized_sample(points, m)
+    if spec.sampler == "random":
+        # RandLA-Net-style uniform random decimation (BASELINE configs[1]):
+        # a fixed pseudo-random row permutation per level keeps the program
+        # static under jit; the host pipeline shuffles crop rows every step,
+        # so the selected POINTS still vary uniformly across steps.
+        idx = jax.random.permutation(
+            jax.random.PRNGKey(level), points.shape[1]
+        )[:m].astype(jnp.int32)
+        return jnp.broadcast_to(idx[None], (points.shape[0], m))
     if spec.sampler == "voxel":
         if spec.voxel_sizes is None:
             raise ValueError("sampler='voxel' requires voxel_sizes")

@@ -145,3 +145,28 @@ def test_kernel_points_deterministic():
     np.testing.assert_array_equal(
         generate_kernel_points(1.0, 15), generate_kernel_points(1.0, 15)
     )
+
+
+def test_randla_style_forward_and_grads(rng):
+    """RandLA arm (BASELINE configs[1]): random decimation + attentive
+    pooling (AdaptiveWeight masked softmax) trains end to end."""
+    import dataclasses
+
+    spec = dataclasses.replace(conv_spec(radii=False), sampler="random")
+    pts = rng.rand(2, 256, 3).astype(np.float32)
+    colors = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+    pyr = build_pyramid(jnp.asarray(pts), spec)
+    model = tiny_convnet(agg_kwargs=(("weight_softmax", "mask"),))
+    variables = model.init(jax.random.PRNGKey(0), colors, pyr, train=True)
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            colors, pyr, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(out.logits**2)
+
+    l, g = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(l))
+    norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms)) and sum(n > 0 for n in norms) > 0

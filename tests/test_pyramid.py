@@ -67,3 +67,42 @@ def test_bucket_fps_sampler(rng):
     idx = np.asarray(pyr.sample_idx[1])
     for b in range(2):
         assert len(np.unique(idx[b])) == 16
+
+
+def test_random_sampler_pyramid(rng):
+    """RandLA-style uniform random decimation: valid unique indices, static
+    under jit, full pyramid builds and trains."""
+    import jax
+    import jax.numpy as jnp
+    from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+
+    spec = PyramidSpec(
+        strides=(1, 4, 4), k_self=(8, 8, 8), k_down=(8, 8, 8),
+        sampler="random",
+    )
+    pts = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    pyr = build_pyramid(pts, spec)
+    for l in (1, 2):
+        idx = np.asarray(pyr.sample_idx[l])
+        n_prev = pyr.points[l - 1].shape[1]
+        assert idx.shape[1] == n_prev // 4
+        for b in range(2):
+            assert len(np.unique(idx[b])) == idx.shape[1]  # no replacement
+            assert idx[b].min() >= 0 and idx[b].max() < n_prev
+    # the randla preset parses and builds
+    from contrastboundary_tpu.config import load_config
+
+    cfg = load_config("s3dis_randla_cbl")
+    assert cfg.model.sampler == "random"
+    assert dict(cfg.model.agg_kwargs)["weight_softmax"] == "mask"
+    spec2 = cfg.pyramid_spec()
+    assert spec2.sampler == "random"
+
+
+def test_paper_presets_protocol():
+    from contrastboundary_tpu.config import load_config
+
+    for name in ("s3dis_pt_cbl_paper", "s3dis_conv_cbl_paper"):
+        cfg = load_config(name)
+        assert cfg.eval.num_votes == 20.0
+        assert cfg.eval.smooth == 0.95
