@@ -241,10 +241,10 @@ def train(cfg, logger, exp_dir: str):
     transform = default_train_transform()
     best_miou = -1.0
     eval_ctx: dict = {}  # caches eval step/dataset/evaluator across epochs
-    # per-host input shards (multi-host: each process preprocesses only its
-    # share; NOTE multi-host device placement additionally needs
-    # make_array_from_process_local_data in shard_batch — single-controller
-    # multi-chip is fully supported, multi-process is wired at the data level)
+    # per-host input shards: each process preprocesses only its share, and
+    # shard_batch assembles the global array from the local shards via
+    # make_array_from_process_local_data (parallel/mesh.py; 2-process test
+    # in tests/test_multihost.py)
     proc_idx, proc_cnt = jax.process_index(), jax.process_count()
 
     for epoch in range(cfg.optim.epochs):

@@ -40,8 +40,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put every leaf of a batch pytree with axis-0 sharded over the
-    mesh's data axis."""
+    """Shard every leaf of a batch pytree with axis-0 over the mesh's data
+    axis.
+
+    Single process: a plain device_put. Multi-process (after
+    `jax.distributed.initialize`): each process holds only ITS slice of the
+    global batch — `jax.make_array_from_process_local_data` assembles the
+    global sharded array from the per-host shards (the per-host input
+    pipelines from data/s3dis.py::make_batch_iterator shard_index/num_shards;
+    the reference's per-GPU `iter.get_next()`, tensorflow/datasets/
+    base.py:112-114, lifted to hosts)."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
     )
