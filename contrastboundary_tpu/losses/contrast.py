@@ -176,38 +176,40 @@ def cbl_stage_loss(
     label_soft: jax.Array,
     cfg: ContrastConfig,
     key: Optional[jax.Array] = None,
+    local: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """CBL loss for one stage.
 
     features:     [B, M, C] stage features (latent).
     contrast_idx: [B, M, K] self-KNN excluding self; shadow index M = invalid.
+                  With `local` = (tile, width): indices are WINDOW-RELATIVE in
+                  Morton-sorted space (ops/knn.py::tile_self_knn; shadow =
+                  width·tile) and features/label_soft must already be sorted —
+                  the neighbor gather then runs as per-tile MXU matmuls
+                  (ops/tile_gather.py) instead of row gathers.
     label_soft:   [B, M, ncls] sub-scene soft labels.
     key:          PRNG key, required when cfg.extra_neg_rand > 0.
 
     Returns the scalar stage loss (already × cfg.weight).
     """
     b, m, _ = features.shape
-    force_pos = None  # pos/neg overrides for extra sample sets (nan = label)
-    if cfg.extra_pos_nn or cfg.extra_neg_rand:
-        sample_idx = [contrast_idx]
-        fp = [jnp.full(contrast_idx.shape, jnp.nan)]
-        if cfg.extra_pos_nn:
-            nn_idx = contrast_idx[..., : cfg.extra_pos_nn]
-            sample_idx.append(nn_idx)
-            fp.append(jnp.ones(nn_idx.shape))
-        if cfg.extra_neg_rand:
-            if key is None:
-                raise ValueError("rand<k> negatives need a PRNG key")
-            rand_idx = jax.random.randint(
-                key, (b, m, cfg.extra_neg_rand), 0, m, dtype=contrast_idx.dtype
-            )
-            sample_idx.append(rand_idx)
-            fp.append(jnp.zeros(rand_idx.shape))
-        contrast_idx = jnp.concatenate(sample_idx, axis=-1)
-        force_pos = jnp.concatenate(fp, axis=-1)
-
-    valid = (contrast_idx < m)
-    safe_idx = jnp.where(valid, contrast_idx, 0)
+    shadow = local[0] * local[1] if local else m
+    # sample sets: [main | nn-prefix] share the index space of contrast_idx;
+    # rand negatives are global rows, gathered separately in tile mode
+    idx_parts = [contrast_idx]
+    fp_parts = [jnp.full(contrast_idx.shape, jnp.nan)]
+    if cfg.extra_pos_nn:
+        nn_idx = contrast_idx[..., : cfg.extra_pos_nn]
+        idx_parts.append(nn_idx)
+        fp_parts.append(jnp.ones(nn_idx.shape))
+    rand_idx = None
+    if cfg.extra_neg_rand:
+        if key is None:
+            raise ValueError("rand<k> negatives need a PRNG key")
+        rand_idx = jax.random.randint(
+            key, (b, m, cfg.extra_neg_rand), 0, m, dtype=contrast_idx.dtype
+        )
+        fp_parts.append(jnp.zeros(rand_idx.shape))
 
     if cfg.dist == "norml2":
         features = features / jnp.maximum(
@@ -216,7 +218,27 @@ def cbl_stage_loss(
     # one fused gather (row-bound on TPU): [label_soft | features]
     c = features.shape[-1]
     fused = jnp.concatenate([label_soft, features.astype(label_soft.dtype)], -1)
-    nb = batch_gather(fused, safe_idx)  # [B, M, K, ncls + C]
+
+    samp = (
+        jnp.concatenate(idx_parts, axis=-1)
+        if len(idx_parts) > 1
+        else contrast_idx
+    )
+    valid = samp < shadow
+    if local is not None:
+        from ..ops.tile_gather import tile_window_gather
+
+        nb = tile_window_gather(fused, samp, local[0], local[1])
+    else:
+        nb = batch_gather(fused, jnp.where(valid, samp, 0))
+    if rand_idx is not None:
+        nb = jnp.concatenate([nb, batch_gather(fused, rand_idx)], axis=2)
+        valid = jnp.concatenate(
+            [valid, jnp.ones(rand_idx.shape, bool)], axis=-1
+        )
+    force_pos = (
+        jnp.concatenate(fp_parts, axis=-1) if len(fp_parts) > 1 else None
+    )
     nb_label = nb[..., : label_soft.shape[-1]]
     nb_feat = nb[..., label_soft.shape[-1] :].astype(features.dtype)
 
@@ -283,6 +305,8 @@ def cbl_loss(
             lv = jnp.mean(nb, axis=-2)
             recur_labels.append(lv)
 
+    orders = getattr(pyramid, "contrast_order", ()) or (None,) * len(latents)
+    locals_ = getattr(pyramid, "contrast_local", ()) or (None,) * len(latents)
     for i in stages:
         if recur_labels is not None:
             label_soft = recur_labels[i]
@@ -292,8 +316,18 @@ def cbl_loss(
                 infer=cfg.label_infer,
             )
         ki = jax.random.fold_in(key, i) if key is not None else None
+        feats = latents[i]
+        local = None
+        if i < len(orders) and orders[i] is not None:
+            # tile mode: sort features + labels into Morton order once
+            # (M rows, vs M·K neighbor rows saved downstream); the loss is a
+            # masked mean — permutation invariant, no unsort needed
+            feats = batch_gather(feats, orders[i])
+            label_soft = batch_gather(label_soft, orders[i])
+            local = locals_[i]
         li = cbl_stage_loss(
-            latents[i], pyramid.contrast_idx[i], label_soft, cfg, key=ki
+            feats, pyramid.contrast_idx[i], label_soft, cfg, key=ki,
+            local=local,
         )
         losses[f"cbl_stage{i}"] = li
         total = total + li

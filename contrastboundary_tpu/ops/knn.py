@@ -203,6 +203,91 @@ def windowed_knn(
     return idx, d2
 
 
+# NOTE: deliberately not jitted itself — it returns the static `width`
+# python int (a jit wrapper would turn it into a traced array). Callers
+# (build_pyramid) are jitted.
+def tile_self_knn(
+    points: jax.Array,
+    k: int,
+    *,
+    tile: int = 256,
+    window: int = 1,
+    exclude_self: bool = True,
+    recall: float | None = 0.95,
+):
+    """Self-KNN restricted to a Morton tile window, returned in SORTED space
+    with WINDOW-RELATIVE indices.
+
+    The enabler for matmul-gathers (ops/tile_gather.py): once neighbor
+    indices are window-relative, the gather x[idx] becomes a per-tile
+    one-hot × window matmul on the MXU and its backward another matmul —
+    no 8.5 ns/row gather and no 24 ns/row scatter-add (PERF.md §2).
+
+    Returns:
+      order     [B, M]   Morton sort (sorted = x[order]).
+      local_idx [B, M, k] int32 in [0, W); shadow = W (invalid / self).
+                Row q of the SORTED cloud sees window rows
+                [starts[q // tile] · tile, … + W) of the sorted cloud.
+      width     int (static): W = width · tile, width = min(2·window+1, M/tile).
+    """
+    from ..core.gather import batch_gather
+    from .sampling import serialized_order
+
+    b, m, _ = points.shape
+    assert m % tile == 0, (m, tile)
+    g = m // tile
+    width = min(2 * window + 1, g)
+    w_sz = width * tile
+
+    order = serialized_order(points)  # [B, M]
+    sorted_pts = batch_gather(points, order)
+
+    import numpy as _np
+
+    starts = _np.clip(_np.arange(g) - window, 0, g - width)  # [g] tiles
+    starts_j = jnp.asarray(starts * tile, jnp.int32)
+
+    def one_cloud(ps, po):
+        pt = ps.reshape(g, tile, 3)
+
+        def per_tile(args):
+            qtile, s0, t = args
+            cand = jax.lax.dynamic_slice(ps, (s0, 0), (w_sz, 3))
+            d2 = pairwise_sqdist(qtile, cand)
+            if exclude_self:
+                # the query's own sorted row = t·tile + row; window-relative
+                # self position = t·tile + row − s0
+                row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+                self_pos = t * tile + row - s0
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (tile, w_sz), 1)
+                d2 = jnp.where(cidx == self_pos, jnp.inf, d2)
+                # duplicate (padded) points: same coords as self → d2 == 0;
+                # the reference's exclude-self drops only the self row, so
+                # keep exact-zero non-self rows (duplicates vote as the
+                # reference's duplicates do)
+            k_eff = min(k, w_sz)
+            if recall is not None and k_eff < w_sz:
+                neg, ci = lax.approx_max_k(-d2, k_eff, recall_target=recall)
+            else:
+                neg, ci = lax.top_k(-d2, k_eff)
+            if k_eff < k:  # tiny level: pad missing neighbors with shadows
+                ci = jnp.pad(ci, ((0, 0), (0, k - k_eff)), constant_values=w_sz)
+                neg = jnp.pad(
+                    neg, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf
+                )
+            return ci.astype(jnp.int32), -neg
+
+        li, d2 = lax.map(
+            per_tile,
+            (pt, starts_j, jnp.arange(g, dtype=jnp.int32)),
+        )
+        return li.reshape(m, k), d2.reshape(m, k)
+
+    local_idx, d2 = jax.vmap(one_cloud)(sorted_pts, order)
+    local_idx = jnp.where(jnp.isinf(d2), w_sz, local_idx)
+    return order, local_idx, width
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "exclude_self", "radius", "chunk", "recall", "ensure_self"),

@@ -63,6 +63,13 @@ class PyramidSpec:
     # distance/top-k work, recall ~0.97 at window=4/tile=256
     knn_window: int = 0
     knn_tile: int = 256
+    # 'tile' → contrast neighbors restricted to a Morton tile window and
+    # returned WINDOW-RELATIVE in sorted space (ops/knn.py::tile_self_knn),
+    # enabling the matmul-gather CBL path (ops/tile_gather.py) that removes
+    # the gather/scatter row cost — PERF.md round-2 lever (a)
+    contrast_mode: str = "dense"  # dense | tile
+    contrast_tile: int = 256
+    contrast_window: int = 1
 
     @property
     def num_levels(self) -> int:
@@ -114,6 +121,12 @@ class Pyramid:
     # one full gather per block):
     self_rel: Tuple  # [B, N_l, k_self_l, 3]
     down_rel: Tuple  # [B, N_l, k_down_l, 3] (None at level 0)
+    # contrast_mode='tile': Morton order per level ([B, N_l]; None = dense
+    # mode for that level) — contrast_idx then holds WINDOW-RELATIVE sorted-
+    # space indices with shadow = width·tile
+    contrast_order: Tuple = ()
+    # static per-level (tile, width) metadata for the tile path
+    contrast_local: Tuple = struct.field(pytree_node=False, default=())
 
 
 def _sample(points: jax.Array, m: int, spec: PyramidSpec, level: int = 1) -> jax.Array:
@@ -206,13 +219,29 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         n0_idx, _ = _knn(spec, points, cur, 1, chunk=chunk, recall=spec.knn_recall)
         near0_idx.append(n0_idx[..., 0])
 
+    contrast_order: list = [None] * spec.num_levels
+    contrast_local: list = [None] * spec.num_levels
     if spec.k_contrast is not None:
+        from .knn import tile_self_knn
+
         for l in range(spec.num_levels):
-            c_idx, _ = _knn(
-                spec, pts[l], pts[l], spec.k_contrast[l] - 1, exclude_self=True,
-                chunk=chunk, recall=spec.knn_recall,
-            )
-            contrast_idx.append(c_idx)
+            m_l = pts[l].shape[1]
+            tile_l = min(spec.contrast_tile, m_l)
+            if spec.contrast_mode == "tile" and m_l % tile_l == 0:
+                order, li, width = tile_self_knn(
+                    pts[l], spec.k_contrast[l] - 1, tile=tile_l,
+                    window=spec.contrast_window, exclude_self=True,
+                    recall=spec.knn_recall,
+                )
+                contrast_idx.append(li)
+                contrast_order[l] = order
+                contrast_local[l] = (tile_l, width)
+            else:
+                c_idx, _ = _knn(
+                    spec, pts[l], pts[l], spec.k_contrast[l] - 1,
+                    exclude_self=True, chunk=chunk, recall=spec.knn_recall,
+                )
+                contrast_idx.append(c_idx)
     else:
         contrast_idx = [None] * spec.num_levels
 
@@ -248,4 +277,6 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         subscene_idx=tuple(subscene_idx),
         self_rel=tuple(self_rel),
         down_rel=tuple(down_rel),
+        contrast_order=tuple(contrast_order),
+        contrast_local=tuple(contrast_local),
     )

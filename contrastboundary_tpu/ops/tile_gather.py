@@ -1,0 +1,125 @@
+"""Tile-window gather as one-hot MXU matmuls — the TPU answer to
+neighbor gathers.
+
+XLA's gather issues ~8.5 ns/row and its backward scatter-add ~24 ns/row
+regardless of row width (PERF.md §2) — at CBL scale (2.3M neighbor rows per
+step at level 0) that is ~75 ms of a 258 ms step. When neighbor indices are
+window-relative in Morton-sorted space (ops/knn.py::tile_self_knn), the
+gather collapses to a batched per-tile matmul: out[q, k] = onehot(idx[q, k])
+· window, and — crucially — its backward is the TRANSPOSED matmul, so the
+scatter-add disappears entirely. Both run on the MXU at matmul rates.
+
+Exactness: a one-hot matmul is a row SELECTION. The 0/1 matrix is exact in
+bf16, and with Precision.HIGH (bf16×3 passes) a float32 operand is
+reconstructed exactly, so the gather is bit-faithful for f32 inputs; bf16
+inputs take the single-pass fast path. The one-hot matrices are rebuilt on
+the fly in both passes (custom_vjp), never kept as residuals.
+
+Equivalent reference work: the CUDA grouping kernel + its scatter backward
+(pytorch/lib/pointops/src/grouping/grouping_cuda_kernel.cu,
+pointops.py:48-76).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_starts(num_tiles: int, width: int) -> np.ndarray:
+    """Static per-tile window start rows (tile units), edge-clipped so every
+    window has exactly `width` tiles (matches ops/knn.py::tile_self_knn)."""
+    window = (width - 1) // 2
+    return np.clip(np.arange(num_tiles) - window, 0, num_tiles - width)
+
+
+def _windows(x: jax.Array, tile: int, width: int) -> jax.Array:
+    """x [B, M, C] → window blocks [B, G, W, C] (W = width·tile)."""
+    b, m, c = x.shape
+    g = m // tile
+    starts = window_starts(g, width)  # tile units
+    xt = x.reshape(b, g, tile, c)
+    # [B, G, width, tile, C]: tile-level gather (G·width rows — negligible)
+    win = xt[:, jnp.asarray(starts)[:, None] + jnp.arange(width)[None, :]]
+    return win.reshape(b, g, width * tile, c)
+
+
+def _sel_matmul(oh_bool, other, subscripts):
+    """One-hot selection matmul, exact for f32 via bf16×3 (Precision.HIGH)."""
+    if other.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            subscripts, oh_bool.astype(jnp.bfloat16), other,
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(
+        subscripts,
+        oh_bool.astype(jnp.float32),
+        other.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gather_fwd_impl(x, local_idx, tile, width):
+    b, m, c = x.shape
+    g = m // tile
+    k = local_idx.shape[-1]
+    w = width * tile
+    xw = _windows(x, tile, width)  # [B, G, W, C]
+    li = local_idx.reshape(b, g, tile, k)
+    iota = jnp.arange(w, dtype=local_idx.dtype)
+    outs = []
+    for kk in range(k):  # per-k one-hot keeps the [.., W] tensor transient
+        oh = li[..., kk, None] == iota  # [B, G, Q, W]; shadow W → all-zero row
+        outs.append(_sel_matmul(oh, xw, "bgqw,bgwc->bgqc"))
+    out = jnp.stack(outs, axis=3)  # [B, G, Q, K, C]
+    return out.reshape(b, m, k, c).astype(x.dtype)
+
+
+def _gather_bwd_impl(x_shape, x_dtype, local_idx, g_out, tile, width):
+    b, m, c = x_shape
+    g = m // tile
+    k = local_idx.shape[-1]
+    w = width * tile
+    li = local_idx.reshape(b, g, tile, k)
+    gr = g_out.reshape(b, g, tile, k, c)
+    iota = jnp.arange(w, dtype=local_idx.dtype)
+    gw = jnp.zeros((b, g, w, c), jnp.float32)
+    for kk in range(k):
+        oh = li[..., kk, None] == iota
+        gw = gw + _sel_matmul(oh, gr[:, :, :, kk, :], "bgqw,bgqc->bgwc")
+    # overlap-add the per-tile window grads back onto rows: window slot j of
+    # query tile t covers support tile starts[t] + j
+    starts = window_starts(g, width)
+    gw = gw.reshape(b, g, width, tile, c)
+    gx = jnp.zeros((b, g, tile, c), jnp.float32)
+    for j in range(width):
+        gx = gx.at[:, starts + j].add(gw[:, :, j])
+    return gx.reshape(b, m, c).astype(x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def tile_window_gather(x, local_idx, tile, width):
+    """out [B, M, K, C]: out[b, q, k] = x[b, starts[q // tile]·tile + idx]
+    for idx = local_idx[b, q, k] < W; zeros for the shadow index W.
+
+    x [B, M, C] in SORTED (Morton) order; local_idx window-relative
+    (ops/knn.py::tile_self_knn). tile/width static."""
+    return _gather_fwd_impl(x, local_idx, tile, width)
+
+
+def _fwd(x, local_idx, tile, width):
+    return _gather_fwd_impl(x, local_idx, tile, width), local_idx
+
+
+def _bwd(tile, width, local_idx, g_out):
+    b, m, k, c = g_out.shape
+    return (
+        _gather_bwd_impl((b, m, c), g_out.dtype, local_idx, g_out, tile, width),
+        None,
+    )
+
+
+tile_window_gather.defvjp(_fwd, _bwd)

@@ -1,0 +1,222 @@
+"""tile_self_knn + tile_window_gather (the matmul-gather perf path)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from contrastboundary_tpu.ops.knn import knn, tile_self_knn
+from contrastboundary_tpu.ops.tile_gather import (
+    tile_window_gather,
+    window_starts,
+)
+
+
+def _np_gather(x, local_idx, tile, width):
+    b, m, c = x.shape
+    g = m // tile
+    w = width * tile
+    starts = window_starts(g, width) * tile
+    out = np.zeros((b, m, local_idx.shape[-1], c), x.dtype)
+    for bb in range(b):
+        for q in range(m):
+            s0 = starts[q // tile]
+            for kk in range(local_idx.shape[-1]):
+                li = local_idx[bb, q, kk]
+                if li < w:
+                    out[bb, q, kk] = x[bb, s0 + li]
+    return out
+
+
+def test_tile_window_gather_matches_numpy(rng):
+    b, m, c, k, tile, width = 2, 64, 5, 4, 16, 3
+    x = rng.randn(b, m, c).astype(np.float32)
+    w = width * tile
+    li = rng.randint(0, w + 1, (b, m, k)).astype(np.int32)  # incl shadow W
+    out = np.asarray(tile_window_gather(jnp.asarray(x), jnp.asarray(li), tile, width))
+    ref = _np_gather(x, li, tile, width)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
+
+
+def test_tile_window_gather_exact_f32():
+    """f32 selection must be bit-faithful (Precision.HIGH bf16×3)."""
+    rng = np.random.RandomState(3)
+    x = (rng.randn(1, 32, 3) * 1000 + rng.randn(1, 32, 3) * 1e-4).astype(
+        np.float32
+    )
+    li = rng.randint(0, 32, (1, 32, 2)).astype(np.int32)
+    out = np.asarray(tile_window_gather(jnp.asarray(x), jnp.asarray(li), 32, 1))
+    ref = _np_gather(x, li, 32, 1)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_tile_window_gather_grad_matches_scatter(rng):
+    """custom VJP (transposed matmul + overlap add) == scatter-add grads."""
+    b, m, c, k, tile, width = 1, 48, 4, 3, 8, 3
+    x = rng.randn(b, m, c).astype(np.float32)
+    w = width * tile
+    li = rng.randint(0, w + 1, (b, m, k)).astype(np.int32)
+    cot = rng.randn(b, m, k, c).astype(np.float32)
+
+    def f(xx):
+        return jnp.sum(tile_window_gather(xx, jnp.asarray(li), tile, width) * cot)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(x)))
+
+    # numpy scatter reference
+    starts = window_starts(m // tile, width) * tile
+    g_ref = np.zeros_like(x)
+    for q in range(m):
+        s0 = starts[q // tile]
+        for kk in range(k):
+            if li[0, q, kk] < w:
+                g_ref[0, s0 + li[0, q, kk]] += cot[0, q, kk]
+    np.testing.assert_allclose(g, g_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_tile_self_knn_full_window_matches_dense(rng):
+    """width covering the whole cloud + exact top-k == dense exact KNN."""
+    b, m, k, tile = 2, 64, 6, 16
+    pts = rng.rand(b, m, 3).astype(np.float32)
+    order, local_idx, width = tile_self_knn(
+        jnp.asarray(pts), k, tile=tile, window=m // tile, recall=None,
+        exclude_self=True,
+    )
+    assert width == m // tile  # window clamped to the full cloud
+    # reconstruct global sorted-space rows: starts are all 0 at full width
+    order = np.asarray(order)
+    li = np.asarray(local_idx)
+    d_idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), k, exclude_self=True)
+    d_idx = np.asarray(d_idx)
+    for bb in range(b):
+        sorted_pts = pts[bb][order[bb]]
+        for q in range(m):
+            got = set(li[bb, q][li[bb, q] < m])
+            want = set(
+                np.searchsorted(np.arange(m), [])
+            )  # placeholder, compare via original ids below
+            got_orig = {order[bb][i] for i in got}
+            want_orig = set(d_idx[bb, order[bb][q]][d_idx[bb, order[bb][q]] < m])
+            assert got_orig == want_orig, (bb, q)
+
+
+def test_tile_self_knn_recall_windowed(rng):
+    """window=1 on a uniform cloud keeps high recall vs exact KNN."""
+    b, m, k = 1, 4096, 16
+    pts = rng.rand(b, m, 3).astype(np.float32)
+    order, local_idx, width = tile_self_knn(
+        jnp.asarray(pts), k, tile=256, window=1, recall=None, exclude_self=True,
+    )
+    order = np.asarray(order)
+    li = np.asarray(local_idx)
+    starts = window_starts(m // 256, width) * 256
+    d_idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), k, exclude_self=True)
+    d_idx = np.asarray(d_idx)
+    hit = total = 0
+    w = width * 256
+    for q in range(m):
+        s0 = starts[q // 256]
+        got = {order[0][s0 + i] for i in li[0, q] if i < w}
+        want = set(d_idx[0, order[0][q]])
+        hit += len(got & want)
+        total += len(want)
+    recall = hit / total
+    assert recall > 0.85, recall
+
+
+def test_tile_gather_equals_plain_gather_on_knn_output(rng):
+    """End-to-end: features gathered through (order, local_idx) equal the
+    dense-KNN gather of the same neighbor set when the window is full."""
+    from contrastboundary_tpu.core.gather import batch_gather
+
+    b, m, c, k, tile = 1, 64, 7, 5, 16
+    pts = rng.rand(b, m, 3).astype(np.float32)
+    feats = rng.randn(b, m, c).astype(np.float32)
+    order, li, width = tile_self_knn(
+        jnp.asarray(pts), k, tile=tile, window=m // tile, recall=None,
+        exclude_self=True,
+    )
+    sorted_feats = batch_gather(jnp.asarray(feats), order)
+    nb_tile = np.asarray(tile_window_gather(sorted_feats, li, tile, width))
+
+    d_idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), k, exclude_self=True)
+    safe = jnp.minimum(d_idx, m - 1)
+    nb_dense = np.asarray(batch_gather(jnp.asarray(feats), safe))
+    nb_dense = nb_dense * (np.asarray(d_idx) < m)[..., None]
+
+    # same multiset of neighbor features per point (k order may differ)
+    order_np = np.asarray(order)
+    for q in range(m):
+        a = np.sort(nb_tile[0, q], axis=0)
+        bq = np.sort(nb_dense[0, order_np[0][q]], axis=0)
+        np.testing.assert_allclose(a, bq, atol=1e-6)
+
+
+def test_cbl_tile_mode_matches_dense(rng):
+    """Full-window tile-mode CBL == dense CBL (same neighbor sets; the loss
+    is order- and permutation-invariant)."""
+    import dataclasses
+    from contrastboundary_tpu.losses import ContrastConfig, cbl_loss
+    from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+
+    base = PyramidSpec(
+        strides=(1, 4, 4), k_self=(8, 8, 8), k_down=(8, 8, 8),
+        k_contrast=(8, 8, 8), with_subscene=True, sampler="fps",
+        knn_recall=None,
+    )
+    pts = rng.rand(1, 64, 3).astype(np.float32)
+    labels = jnp.asarray((pts[..., 0] > 0.5).astype(np.int32))
+    latents = tuple(
+        jnp.asarray(rng.randn(1, n, 6).astype(np.float32))
+        for n in (64, 16, 4)
+    )
+    cfg = ContrastConfig(stages=(0, 1, 2), weight=1.0)
+
+    dense = build_pyramid(jnp.asarray(pts), base)
+    spec_tile = dataclasses.replace(
+        base, contrast_mode="tile", contrast_tile=16, contrast_window=4,
+    )  # window 4 ≥ num tiles → full window at every level
+    tiled = build_pyramid(jnp.asarray(pts), spec_tile)
+    assert tiled.contrast_order[0] is not None
+
+    t_dense, per_d = cbl_loss(latents, dense, labels, 3, cfg)
+    t_tile, per_t = cbl_loss(latents, tiled, labels, 3, cfg)
+    np.testing.assert_allclose(float(t_dense), float(t_tile), rtol=1e-5)
+    for k in per_d:
+        np.testing.assert_allclose(
+            float(per_d[k]), float(per_t[k]), rtol=1e-5, err_msg=k
+        )
+
+
+def test_cbl_tile_mode_gradients(rng):
+    """Tile-mode CBL grads (through the matmul-gather VJP) match dense."""
+    import dataclasses
+    from contrastboundary_tpu.losses import ContrastConfig, cbl_loss
+    from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+
+    base = PyramidSpec(
+        strides=(1, 4), k_self=(8, 8), k_down=(8, 8),
+        k_contrast=(8, 8), with_subscene=True, sampler="fps",
+        knn_recall=None,
+    )
+    pts = rng.rand(1, 48, 3).astype(np.float32)
+    labels = jnp.asarray((pts[..., 0] > 0.5).astype(np.int32))
+    lat = tuple(
+        jnp.asarray(rng.randn(1, n, 5).astype(np.float32)) for n in (48, 12)
+    )
+    cfg = ContrastConfig(stages=(0, 1), weight=1.0)
+    dense = build_pyramid(jnp.asarray(pts), base)
+    tiled = build_pyramid(
+        jnp.asarray(pts),
+        dataclasses.replace(
+            base, contrast_mode="tile", contrast_tile=12, contrast_window=8
+        ),
+    )
+
+    def f(pyr):
+        def loss(lats):
+            t, _ = cbl_loss(lats, pyr, labels, 3, cfg)
+            return t
+        return jax.grad(loss)(lat)
+
+    gd, gt = f(dense), f(tiled)
+    for a, b in zip(gd, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
