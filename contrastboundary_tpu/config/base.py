@@ -54,6 +54,14 @@ class ModelConfig:
     # >0: Morton-tile windowed KNN in the pyramid (4x faster at N=65k,
     # recall ~0.97 at 4); 0 = dense approx (default, exact-recall parity)
     knn_window: int = 0
+    # 'sorted': every pyramid level is kept Morton-sorted and the backbone
+    # self-attention + CBL neighbor gathers run as tile-local one-hot MXU
+    # matmuls (ops/tile_gather.py) — the point-transformer fast path.
+    # ConvNet (global shadow-index radius semantics) requires 'natural'.
+    layout: str = "natural"  # natural | sorted
+    # 'tile': tile-local CBL gathers under the NATURAL layout (sorts the
+    # contrast stages on the fly; implied for every stage under 'sorted')
+    contrast_mode: str = "dense"  # dense | tile
     # --- convnet family (reference config/s3dis/adapt.yaml defaults) ---
     aggregation: str = "adaptive_weight"  # pospool | adaptive_weight | pointwisemlp | pseudo_grid | identity
     agg_kwargs: Tuple[Tuple[str, Any], ...] = ()
@@ -130,6 +138,11 @@ class Config:
 
     def pyramid_spec(self) -> PyramidSpec:
         m = self.model
+        if m.arch == "convnet" and m.layout != "natural":
+            raise ValueError(
+                "model.layout='sorted' is the point-transformer fast path; "
+                "convnet needs global shadow-index neighbors (layout='natural')"
+            )
         if m.arch == "convnet":
             nl = len(m.strides)
             radii = tuple(m.base_radius * 2**i for i in range(nl))
@@ -162,6 +175,8 @@ class Config:
             with_subscene=self._needs_subscene,
             sampler=m.sampler,
             knn_window=m.knn_window,
+            layout=m.layout,
+            contrast_mode=m.contrast_mode,
         )
 
     def build_model(self):

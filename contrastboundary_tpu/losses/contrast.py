@@ -317,14 +317,15 @@ def cbl_loss(
             )
         ki = jax.random.fold_in(key, i) if key is not None else None
         feats = latents[i]
-        local = None
+        local = locals_[i] if i < len(locals_) else None
         if i < len(orders) and orders[i] is not None:
-            # tile mode: sort features + labels into Morton order once
-            # (M rows, vs M·K neighbor rows saved downstream); the loss is a
-            # masked mean — permutation invariant, no unsort needed
+            # tile mode over a natural-layout pyramid: sort features + labels
+            # into Morton order once (M rows, vs M·K neighbor rows saved
+            # downstream); the loss is a masked mean — permutation invariant,
+            # no unsort needed. Under layout='sorted' everything is already
+            # sorted (orders[i] is None) and local indices apply directly.
             feats = batch_gather(feats, orders[i])
             label_soft = batch_gather(label_soft, orders[i])
-            local = locals_[i]
         li = cbl_stage_loss(
             feats, pyramid.contrast_idx[i], label_soft, cfg, key=ki,
             local=local,

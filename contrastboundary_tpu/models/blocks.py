@@ -38,7 +38,7 @@ class PointTransformerLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, p, x, nb_idx, train: bool = True, rel=None):
+    def __call__(self, p, x, nb_idx, train: bool = True, rel=None, local=None):
         c = self.out_planes
         s = self.share_planes
         dense = lambda d, name: nn.Dense(d, dtype=self.dtype, name=name)
@@ -55,9 +55,23 @@ class PointTransformerLayer(nn.Module):
         # row regardless of width ≤128 lanes), so one [2c]-wide gather costs
         # half of separate k and v gathers; the relative positions come
         # precomputed from the pyramid (shared by every block of the level).
-        kv_nb = batch_gather(jnp.concatenate([k, v], axis=-1), nb_idx)
+        # With `local` = (tile, width) the indices are window-relative in
+        # Morton-sorted space (PyramidSpec layout='sorted') and the gather +
+        # its backward run as per-tile one-hot MXU matmuls instead
+        # (ops/tile_gather.py) — no row gather, no backward scatter-add.
+        kv = jnp.concatenate([k, v], axis=-1)
+        if local is not None:
+            from ..ops.tile_gather import tile_window_gather
+
+            kv_nb = tile_window_gather(kv, nb_idx, local[0], local[1])
+            shadow = local[0] * local[1]
+        else:
+            kv_nb = batch_gather(kv, nb_idx)
+            shadow = None
         k_nb, v_nb = kv_nb[..., :c], kv_nb[..., c:]
         if rel is None:
+            if local is not None:
+                raise ValueError("tile-local attention needs precomputed rel")
             p_nb = batch_gather(p, nb_idx)
             rel = p_nb - p[:, :, None, :]
         p_r = rel.astype(self.dtype)
@@ -73,7 +87,13 @@ class PointTransformerLayer(nn.Module):
         w = dense(c // s, "w_fc1")(w)
         w = nn.relu(bn("w_bn2")(w))
         w = dense(c // s, "w_fc2")(w)
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=2).astype(self.dtype)  # over K
+        w = w.astype(jnp.float32)
+        if shadow is not None:
+            # tiny levels can pad missing neighbors with the shadow index;
+            # slot 0 is always the query itself (ensure_self), so the
+            # masked softmax never sees an all-invalid row
+            w = jnp.where((nb_idx == shadow)[..., None], -jnp.inf, w)
+        w = jax.nn.softmax(w, axis=2).astype(self.dtype)  # over K
 
         b, n, kk, _ = v_nb.shape
         vp = (v_nb + pe).reshape(b, n, kk, s, c // s)
@@ -161,7 +181,7 @@ class PointTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, p, x, nb_idx, train: bool = True, rel=None):
+    def __call__(self, p, x, nb_idx, train: bool = True, rel=None, local=None):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name=name,
@@ -171,7 +191,7 @@ class PointTransformerBlock(nn.Module):
         y = nn.relu(bn("bn1")(y))
         y = PointTransformerLayer(
             self.planes, self.share_planes, dtype=self.dtype, name="transformer2"
-        )(p, y, nb_idx, train, rel=rel)
+        )(p, y, nb_idx, train, rel=rel, local=local)
         y = nn.relu(bn("bn2")(y))
         y = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear3")(y)
         y = bn("bn3")(y)

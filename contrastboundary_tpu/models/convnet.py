@@ -122,6 +122,11 @@ class ConvNetSeg(nn.Module):
 
     @nn.compact
     def __call__(self, features, pyramid: Pyramid, train: bool = True) -> ModelOutput:
+        if pyramid.self_local and any(m is not None for m in pyramid.self_local):
+            # ConvNet aggregation consumes GLOBAL shadow-index neighbors
+            # (radius masks); the tile-local sorted layout is the
+            # point-transformer fast path
+            raise ValueError("ConvNet requires PyramidSpec(layout='natural')")
         fdim = self.base_fdim
         radius = self.base_radius
         x = build_input_features(

@@ -228,9 +228,12 @@ class PointTransformerSeg(nn.Module):
     @nn.compact
     def __call__(self, features, pyramid: Pyramid, train: bool = True) -> ModelOutput:
         Block = (
-            nn.remat(PointTransformerBlock, static_argnums=(4,))
+            nn.remat(PointTransformerBlock, static_argnums=(4, 6))
             if self.save_memory
             else PointTransformerBlock
+        )
+        loc = lambda l: (
+            pyramid.self_local[l] if pyramid.self_local else None
         )
         p0 = pyramid.points[0]
         x = jnp.concatenate([p0, features], axis=-1).astype(self.dtype)
@@ -255,7 +258,8 @@ class PointTransformerSeg(nn.Module):
                 x = Block(
                     self.planes[l], self.share_planes, dtype=self.dtype,
                     name=f"enc{l}_blk{b}",
-                )(p, x, pyramid.self_idx[l], train, pyramid.self_rel[l])
+                )(p, x, pyramid.self_idx[l], train, pyramid.self_rel[l],
+                  loc(l))
             down_feats.append(x)
 
         # ---- decoder ----
@@ -267,7 +271,7 @@ class PointTransformerSeg(nn.Module):
             self.planes[-1], self.share_planes, dtype=self.dtype,
             name=f"dec{num_levels-1}_blk",
         )(pyramid.points[-1], x, pyramid.self_idx[-1], train,
-          pyramid.self_rel[-1])
+          pyramid.self_rel[-1], loc(num_levels - 1))
         up_feats[-1] = x
 
         for l in range(num_levels - 2, -1, -1):
@@ -278,7 +282,7 @@ class PointTransformerSeg(nn.Module):
                 self.planes[l], self.share_planes, dtype=self.dtype,
                 name=f"dec{l}_blk",
             )(pyramid.points[l], x, pyramid.self_idx[l], train,
-              pyramid.self_rel[l])
+              pyramid.self_rel[l], loc(l))
             up_feats[l] = x
 
         if self.use_multihead:

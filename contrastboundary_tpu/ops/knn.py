@@ -214,6 +214,8 @@ def tile_self_knn(
     window: int = 1,
     exclude_self: bool = True,
     recall: float | None = 0.95,
+    assume_sorted: bool = False,
+    ensure_self: bool = False,
 ):
     """Self-KNN restricted to a Morton tile window, returned in SORTED space
     with WINDOW-RELATIVE indices.
@@ -223,8 +225,15 @@ def tile_self_knn(
     one-hot × window matmul on the MXU and its backward another matmul —
     no 8.5 ns/row gather and no 24 ns/row scatter-add (PERF.md §2).
 
+    assume_sorted: the input is ALREADY Morton-sorted (PyramidSpec
+    layout='sorted' keeps every level in sorted space) — skips the sort and
+    returns order=None. ensure_self: overwrite slot 0 with the query's own
+    (window-relative) position at distance 0 — the backbone self-KNN
+    invariant under approximate search (mirrors `knn(ensure_self=True)`).
+
     Returns:
-      order     [B, M]   Morton sort (sorted = x[order]).
+      order     [B, M]   Morton sort (sorted = x[order]); None if
+                assume_sorted.
       local_idx [B, M, k] int32 in [0, W); shadow = W (invalid / self).
                 Row q of the SORTED cloud sees window rows
                 [starts[q // tile] · tile, … + W) of the sorted cloud.
@@ -235,30 +244,35 @@ def tile_self_knn(
 
     b, m, _ = points.shape
     assert m % tile == 0, (m, tile)
+    assert not (exclude_self and ensure_self)
     g = m // tile
     width = min(2 * window + 1, g)
     w_sz = width * tile
 
-    order = serialized_order(points)  # [B, M]
-    sorted_pts = batch_gather(points, order)
+    if assume_sorted:
+        order = None
+        sorted_pts = points
+    else:
+        order = serialized_order(points)  # [B, M]
+        sorted_pts = batch_gather(points, order)
 
     import numpy as _np
 
     starts = _np.clip(_np.arange(g) - window, 0, g - width)  # [g] tiles
     starts_j = jnp.asarray(starts * tile, jnp.int32)
 
-    def one_cloud(ps, po):
+    def one_cloud(ps):
         pt = ps.reshape(g, tile, 3)
 
         def per_tile(args):
             qtile, s0, t = args
             cand = jax.lax.dynamic_slice(ps, (s0, 0), (w_sz, 3))
             d2 = pairwise_sqdist(qtile, cand)
+            # the query's own sorted row = t·tile + row; window-relative
+            # self position = t·tile + row − s0
+            row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+            self_pos = t * tile + row - s0
             if exclude_self:
-                # the query's own sorted row = t·tile + row; window-relative
-                # self position = t·tile + row − s0
-                row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-                self_pos = t * tile + row - s0
                 cidx = jax.lax.broadcasted_iota(jnp.int32, (tile, w_sz), 1)
                 d2 = jnp.where(cidx == self_pos, jnp.inf, d2)
                 # duplicate (padded) points: same coords as self → d2 == 0;
@@ -275,6 +289,9 @@ def tile_self_knn(
                 neg = jnp.pad(
                     neg, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf
                 )
+            if ensure_self:
+                ci = ci.at[:, 0].set(self_pos[:, 0])
+                neg = neg.at[:, 0].set(0.0)
             return ci.astype(jnp.int32), -neg
 
         li, d2 = lax.map(
@@ -283,7 +300,7 @@ def tile_self_knn(
         )
         return li.reshape(m, k), d2.reshape(m, k)
 
-    local_idx, d2 = jax.vmap(one_cloud)(sorted_pts, order)
+    local_idx, d2 = jax.vmap(one_cloud)(sorted_pts)
     local_idx = jnp.where(jnp.isinf(d2), w_sz, local_idx)
     return order, local_idx, width
 

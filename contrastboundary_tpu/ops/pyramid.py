@@ -70,6 +70,17 @@ class PyramidSpec:
     contrast_mode: str = "dense"  # dense | tile
     contrast_tile: int = 256
     contrast_window: int = 1
+    # layout='sorted': every level's points are stored Morton-SORTED
+    # (Pyramid.order0 maps original → sorted rows at level 0; sampled levels
+    # inherit sortedness because subsets of a Morton-sorted cloud sorted by
+    # row index stay Morton-sorted). Backbone self-KNN then returns
+    # window-relative tile-local indices (Pyramid.self_local) and the model's
+    # neighbor gathers run as per-tile one-hot MXU matmuls
+    # (ops/tile_gather.py) instead of row gathers — PERF.md round-2 lever.
+    # Callers must permute features/labels by order0 (train/trainer.py does).
+    layout: str = "natural"  # natural | sorted
+    self_tile: int = 256
+    self_window: int = 1
 
     @property
     def num_levels(self) -> int:
@@ -127,6 +138,14 @@ class Pyramid:
     contrast_order: Tuple = ()
     # static per-level (tile, width) metadata for the tile path
     contrast_local: Tuple = struct.field(pytree_node=False, default=())
+    # layout='sorted': Morton order of the ORIGINAL level-0 rows ([B, N0];
+    # None = natural layout). Callers permute features/labels by it before
+    # the model and un-permute predictions after (train/trainer.py).
+    order0: Optional[jax.Array] = None
+    # layout='sorted': static per-level (tile, width) for self_idx, which is
+    # then WINDOW-RELATIVE in the level's (sorted) row space with shadow =
+    # tile·width; None-slots fall back to global indices.
+    self_local: Tuple = struct.field(pytree_node=False, default=())
 
 
 def _sample(points: jax.Array, m: int, spec: PyramidSpec, level: int = 1) -> jax.Array:
@@ -178,14 +197,45 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     """Build the full index pyramid from level-0 points [B, N, 3]."""
     b, n, _ = points.shape
     chunk = spec.knn_chunk
+    sorted_layout = spec.layout == "sorted"
+    if sorted_layout and (spec.radii or spec.down_radii):
+        # radius→shadow masks use global-index semantics (ConvNet models);
+        # the sorted/tile layout is the point-transformer fast path
+        raise ValueError("layout='sorted' does not support radius masks")
+
+    order0 = None
+    if sorted_layout:
+        from .sampling import serialized_order
+
+        order0 = serialized_order(points)
+        points = batch_gather(points, order0)
+
+    def _self_knn(pts_l, k, level):
+        """Level self-KNN → (idx, local_meta). Sorted layout: window-relative
+        tile-local indices (+ (tile, width)); else global indices (+ None)."""
+        m_l = pts_l.shape[1]
+        tile_l = min(spec.self_tile, m_l)
+        if sorted_layout and m_l % tile_l == 0:
+            from .knn import tile_self_knn
+
+            _, li, width = tile_self_knn(
+                pts_l, k, tile=tile_l, window=spec.self_window,
+                exclude_self=False, ensure_self=True,
+                recall=spec.knn_recall, assume_sorted=True,
+            )
+            return li, (tile_l, width)
+        s_idx, _ = _knn(
+            spec, pts_l, pts_l, k,
+            radius=spec.radii[level] if spec.radii else None, chunk=chunk,
+            recall=spec.knn_recall, ensure_self=True,
+        )
+        return s_idx, None
 
     pts = [points]
     sample_idx = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))]
-    self_idx = [
-        _knn(spec, points, points, spec.k_self[0], chunk=chunk,
-             radius=spec.radii[0] if spec.radii else None,
-             recall=spec.knn_recall, ensure_self=True)[0]
-    ]
+    s_idx0, s_loc0 = _self_knn(points, spec.k_self[0], 0)
+    self_idx = [s_idx0]
+    self_local = [s_loc0]
     down_idx = [None]
     up_idx = [None]
     up_w = [None]
@@ -197,6 +247,10 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         prev = pts[l - 1]
         m = prev.shape[1] // spec.strides[l]
         idx = _sample(prev, m, spec, l)
+        if sorted_layout:
+            # any subset of a Morton-sorted cloud, sorted by row index, is
+            # itself Morton-sorted — one int sort keeps the level sorted
+            idx = jnp.sort(idx, axis=1)
         cur = batch_gather(prev, idx)
         pts.append(cur)
         sample_idx.append(idx)
@@ -206,12 +260,9 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
             recall=spec.knn_recall,
         )
         down_idx.append(d_idx)
-        s_idx, _ = _knn(
-            spec, cur, cur, spec.k_self[l],
-            radius=spec.radii[l] if spec.radii else None, chunk=chunk,
-            recall=spec.knn_recall, ensure_self=True,
-        )
+        s_idx, s_loc = _self_knn(cur, spec.k_self[l], l)
         self_idx.append(s_idx)
+        self_local.append(s_loc)
         u_idx, u_d2 = _knn(spec, prev, cur, spec.k_up, chunk=chunk,
                            recall=spec.knn_recall)
         up_idx.append(u_idx)
@@ -224,14 +275,17 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     if spec.k_contrast is not None:
         from .knn import tile_self_knn
 
+        use_tile = spec.contrast_mode == "tile" or sorted_layout
         for l in range(spec.num_levels):
             m_l = pts[l].shape[1]
             tile_l = min(spec.contrast_tile, m_l)
-            if spec.contrast_mode == "tile" and m_l % tile_l == 0:
+            if use_tile and m_l % tile_l == 0:
+                # sorted layout: the level is already Morton-sorted, so the
+                # CBL needs no per-stage re-sort (contrast_order stays None)
                 order, li, width = tile_self_knn(
                     pts[l], spec.k_contrast[l] - 1, tile=tile_l,
                     window=spec.contrast_window, exclude_self=True,
-                    recall=spec.knn_recall,
+                    recall=spec.knn_recall, assume_sorted=sorted_layout,
                 )
                 contrast_idx.append(li)
                 contrast_order[l] = order
@@ -260,7 +314,19 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         valid = (idx < p_support.shape[1])[..., None]
         return jnp.where(valid, nb - p_query[:, :, None, :], 0.0)
 
-    self_rel = [_rel(pts[l], pts[l], self_idx[l]) for l in range(spec.num_levels)]
+    def _rel_local(p, li, tile, width):
+        from .tile_gather import tile_window_gather
+
+        nb = tile_window_gather(p, li, tile, width)  # shadow rows → 0
+        valid = (li < tile * width)[..., None]
+        return jnp.where(valid, nb - p[:, :, None, :], 0.0)
+
+    self_rel = [
+        _rel_local(pts[l], self_idx[l], *self_local[l])
+        if self_local[l] is not None
+        else _rel(pts[l], pts[l], self_idx[l])
+        for l in range(spec.num_levels)
+    ]
     down_rel = [None] + [
         _rel(pts[l - 1], pts[l], down_idx[l]) for l in range(1, spec.num_levels)
     ]
@@ -279,4 +345,6 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         down_rel=tuple(down_rel),
         contrast_order=tuple(contrast_order),
         contrast_local=tuple(contrast_local),
+        order0=order0,
+        self_local=tuple(self_local),
     )

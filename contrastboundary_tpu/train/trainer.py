@@ -42,16 +42,25 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         pyramid = build_pyramid(batch["points"], cfg.spec)
+        features, labels = batch["features"], batch["labels"]
+        if pyramid.order0 is not None:
+            # layout='sorted': the pyramid lives in Morton-sorted space —
+            # move features/labels there too (every loss below is
+            # permutation invariant, so nothing needs un-sorting)
+            from ..core.gather import batch_gather as _bg
+
+            features = _bg(features, pyramid.order0)
+            labels = _bg(labels, pyramid.order0)
 
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["features"],
+                features,
                 pyramid,
                 train=True,
                 mutable=["batch_stats"],
             )
-            ce = cross_entropy(out.logits, batch["labels"], cfg.ignore_label)
+            ce = cross_entropy(out.logits, labels, cfg.ignore_label)
             total = ce
             metrics = {"ce": ce}
             if cfg.branch_loss and any(
@@ -67,7 +76,7 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
                     if cfg.branch_loss == "lossSub":
                         # stage-local soft labels (head.py:303-317)
                         soft = subscene_labels(
-                            batch["labels"], pyramid.subscene_idx[i],
+                            labels, pyramid.subscene_idx[i],
                             cfg.num_classes, cfg.ignore_label,
                         )
                         bl = soft_cross_entropy(sl, soft)
@@ -76,7 +85,7 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
                             sl, pyramid.near0_idx[i]
                         )
                         bl = cross_entropy(
-                            l0, batch["labels"], cfg.ignore_label
+                            l0, labels, cfg.ignore_label
                         )
                     total = total + cfg.branch_weight * bl
                     metrics[f"branch_stage{i}"] = bl
@@ -94,7 +103,7 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
                 cb, per_stage = cbl_loss(
                     cfeats,
                     pyramid,
-                    batch["labels"],
+                    labels,
                     cfg.num_classes,
                     cfg.contrast,
                     cfg.ignore_label,
@@ -106,7 +115,7 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
             metrics["loss"] = total
             pred = jnp.argmax(out.logits, axis=-1)
             conf = confusion_matrix(
-                pred, batch["labels"], cfg.num_classes, cfg.ignore_label
+                pred, labels, cfg.num_classes, cfg.ignore_label
             )
             return total, (mutated["batch_stats"], metrics, conf)
 
@@ -141,10 +150,27 @@ def make_eval_step(
     )
 
     def eval_step(state: TrainState, batch):
+        from ..core.gather import batch_gather
+
         pyramid = build_pyramid(batch["points"], eval_spec)
+        features, labels = batch["features"], batch["labels"]
+        inv0 = None
+        if pyramid.order0 is not None:
+            # layout='sorted': model inputs/outputs live in Morton-sorted
+            # space; predictions must be returned in the CALLER's row order
+            # (voting/reprojection index into the original crop rows), so
+            # un-permute with the inverse order (a cheap N-row scatter).
+            features = batch_gather(features, pyramid.order0)
+            labels = batch_gather(labels, pyramid.order0)
+            b, n = pyramid.order0.shape
+            inv0 = (
+                jnp.zeros_like(pyramid.order0)
+                .at[jnp.arange(b)[:, None], pyramid.order0]
+                .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n)))
+            )
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["features"],
+            features,
             pyramid,
             train=False,
         )
@@ -153,21 +179,23 @@ def make_eval_step(
             if output == "logits"
             else jax.nn.softmax(out.logits, axis=-1)
         )
-        pred = jnp.argmax(out.logits, axis=-1)
+        if inv0 is not None:
+            probs = batch_gather(probs, inv0)
+        pred = jnp.argmax(probs, axis=-1)
         conf = confusion_matrix(
             pred, batch["labels"], cfg.num_classes, cfg.ignore_label
         )
         if not with_features:
             return probs, conf
-        from ..core.gather import batch_gather
 
         feats = {}
         for i, lat in enumerate(out.latents):
             if lat is None:
                 continue
-            feats[f"latent{i}"] = (
-                lat if i == 0 else batch_gather(lat, pyramid.near0_idx[i])
-            )
+            f0 = lat if i == 0 else batch_gather(lat, pyramid.near0_idx[i])
+            if inv0 is not None:
+                f0 = batch_gather(f0, inv0)
+            feats[f"latent{i}"] = f0
         return probs, conf, feats
 
     return jax.jit(eval_step)
