@@ -307,6 +307,73 @@ def tile_self_knn(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "tile", "window", "recall"),
+)
+def tile_cross_knn(
+    query: jax.Array,
+    support: jax.Array,
+    k: int,
+    *,
+    tile: int = 256,
+    window: int = 1,
+    recall: float | None = 0.95,
+):
+    """Cross-level KNN for Morton-SORTED inputs (PyramidSpec layout='sorted').
+
+    Because both clouds are sorted along the SAME Morton curve, query tile g
+    spatially spans support tiles [g·gs/gq, (g+1)·gs/gq); scoring that span
+    ± `window` tiles replaces the dense [M, N] distance matrix with
+    [tile, width·tile] — a ~N/(width·tile) cut in both the matmul and the
+    top-k — with no re-sort (the windowed_knn fallback pays two argsorts).
+
+    Returns (idx [B, M, k] int32 GLOBAL indices into support rows, d2),
+    ascending, shadow index N where fewer than k candidates exist. The
+    TPU-native replacement for the reference's cross-stage searches
+    (tensorflow/models/heads/head.py:133-177, pytorch pointops knnquery).
+    """
+    import numpy as _np
+
+    b, m, _ = query.shape
+    n = support.shape[1]
+    assert m % tile == 0 and n % tile == 0, (m, n, tile)
+    gq, gs = m // tile, n // tile
+    span = -(-gs // gq)  # ceil: support tiles naturally covered per query tile
+    width = min(span + 2 * window, gs)
+    w_sz = width * tile
+    centers = (_np.arange(gq) * gs) // gq
+    starts = _np.clip(centers - window, 0, gs - width)  # [gq] tiles
+    starts_j = jnp.asarray(starts * tile, jnp.int32)
+    k_eff = min(k, w_sz)
+
+    def one_cloud(qs, ss):
+        qt = qs.reshape(gq, tile, 3)
+
+        def per_tile(args):
+            qtile, s0 = args
+            cand = jax.lax.dynamic_slice(ss, (s0, 0), (w_sz, 3))
+            d2 = pairwise_sqdist(qtile, cand)
+            if recall is not None and k_eff < w_sz:
+                neg, ci = lax.approx_max_k(-d2, k_eff, recall_target=recall)
+            else:
+                neg, ci = lax.top_k(-d2, k_eff)
+            gi = s0 + ci  # global support row
+            if k_eff < k:
+                gi = jnp.pad(gi, ((0, 0), (0, k - k_eff)), constant_values=n)
+                neg = jnp.pad(
+                    neg, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf
+                )
+            return gi.astype(jnp.int32), -neg
+
+        gi, d2 = lax.map(per_tile, (qt, starts_j))
+        return gi.reshape(m, k), d2.reshape(m, k)
+
+    idx, d2 = jax.vmap(one_cloud)(query, support)
+    idx = jnp.where(jnp.isinf(d2), n, idx)
+    return idx, d2
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "exclude_self", "radius", "chunk", "recall", "ensure_self"),
 )
 def knn(

@@ -231,6 +231,24 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         )
         return s_idx, None
 
+    def _cross(query, support, k, radius=None):
+        """Cross-level KNN. Sorted layout: both sides share the Morton order,
+        so the window-aligned search (ops/knn.py::tile_cross_knn) replaces
+        the dense distance matrix — no re-sort, ~N/(width·tile) less work."""
+        if sorted_layout and radius is None:
+            t = min(spec.self_tile, query.shape[1], support.shape[1])
+            if query.shape[1] % t == 0 and support.shape[1] % t == 0:
+                from .knn import tile_cross_knn
+
+                return tile_cross_knn(
+                    query, support, k, tile=t, window=spec.self_window,
+                    recall=spec.knn_recall,
+                )
+        return _knn(
+            spec, query, support, k, radius=radius, chunk=chunk,
+            recall=spec.knn_recall,
+        )
+
     pts = [points]
     sample_idx = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))]
     s_idx0, s_loc0 = _self_knn(points, spec.k_self[0], 0)
@@ -254,20 +272,18 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         cur = batch_gather(prev, idx)
         pts.append(cur)
         sample_idx.append(idx)
-        d_idx, _ = _knn(
-            spec, cur, prev, spec.k_down[l],
-            radius=spec.down_radii[l] if spec.down_radii else None, chunk=chunk,
-            recall=spec.knn_recall,
+        d_idx, _ = _cross(
+            cur, prev, spec.k_down[l],
+            radius=spec.down_radii[l] if spec.down_radii else None,
         )
         down_idx.append(d_idx)
         s_idx, s_loc = _self_knn(cur, spec.k_self[l], l)
         self_idx.append(s_idx)
         self_local.append(s_loc)
-        u_idx, u_d2 = _knn(spec, prev, cur, spec.k_up, chunk=chunk,
-                           recall=spec.knn_recall)
+        u_idx, u_d2 = _cross(prev, cur, spec.k_up)
         up_idx.append(u_idx)
         up_w.append(interpolation_weights(u_d2))
-        n0_idx, _ = _knn(spec, points, cur, 1, chunk=chunk, recall=spec.knn_recall)
+        n0_idx, _ = _cross(points, cur, 1)
         near0_idx.append(n0_idx[..., 0])
 
     contrast_order: list = [None] * spec.num_levels
@@ -303,8 +319,7 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         subscene_idx.append(None)  # level 0 uses labels directly
         for l in range(1, spec.num_levels):
             kr = spec.subscene_k(l)
-            ss_idx, _ = _knn(spec, pts[l], points, kr, chunk=chunk,
-                             recall=spec.knn_recall)
+            ss_idx, _ = _cross(pts[l], points, kr)
             subscene_idx.append(ss_idx)
     else:
         subscene_idx = [None] * spec.num_levels
