@@ -264,11 +264,20 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     for l in range(1, spec.num_levels):
         prev = pts[l - 1]
         m = prev.shape[1] // spec.strides[l]
-        idx = _sample(prev, m, spec, l)
-        if sorted_layout:
-            # any subset of a Morton-sorted cloud, sorted by row index, is
-            # itself Morton-sorted — one int sort keeps the level sorted
-            idx = jnp.sort(idx, axis=1)
+        if sorted_layout and spec.sampler == "serialized":
+            # the level is already Morton-sorted: serialized (strided-curve)
+            # sampling is a pure strided row pick — no argsort, no FPS chain
+            # (PTv3-style serialized pooling on the inherited order)
+            n_prev = prev.shape[1]
+            stride_idx = jnp.linspace(0, n_prev - 1, m).round().astype(jnp.int32)
+            idx = jnp.broadcast_to(stride_idx[None], (b, m))
+        else:
+            idx = _sample(prev, m, spec, l)
+            if sorted_layout:
+                # any subset of a Morton-sorted cloud, sorted by row index,
+                # is itself Morton-sorted — one int sort keeps the level
+                # sorted
+                idx = jnp.sort(idx, axis=1)
         cur = batch_gather(prev, idx)
         pts.append(cur)
         sample_idx.append(idx)
