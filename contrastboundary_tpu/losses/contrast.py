@@ -215,9 +215,18 @@ def cbl_stage_loss(
         features = features / jnp.maximum(
             jnp.linalg.norm(features, axis=-1, keepdims=True), EPS
         )
-    # one fused gather (row-bound on TPU): [label_soft | features]
+    # one fused gather (row-bound on TPU): [label_soft | features]. When the
+    # model runs in bfloat16, gather in bf16 too: the tile-mode one-hot
+    # matmul (ops/tile_gather.py) then takes its single-pass MXU path (3×
+    # cheaper than the f32-exact bf16×3). Soft labels round to ~3 decimal
+    # digits, which only matters at posmask near-ties (either side is fine).
     c = features.shape[-1]
-    fused = jnp.concatenate([label_soft, features.astype(label_soft.dtype)], -1)
+    fuse_dtype = (
+        jnp.bfloat16 if features.dtype == jnp.bfloat16 else label_soft.dtype
+    )
+    fused = jnp.concatenate(
+        [label_soft.astype(fuse_dtype), features.astype(fuse_dtype)], -1
+    )
 
     samp = (
         jnp.concatenate(idx_parts, axis=-1)
@@ -239,8 +248,12 @@ def cbl_stage_loss(
     force_pos = (
         jnp.concatenate(fp_parts, axis=-1) if len(fp_parts) > 1 else None
     )
-    nb_label = nb[..., : label_soft.shape[-1]]
-    nb_feat = nb[..., label_soft.shape[-1] :].astype(features.dtype)
+    # loss math stays f32 regardless of the gather dtype (the reference's
+    # head computes in f32; only the gather matmul takes the bf16 fast path)
+    nb_label = nb[..., : label_soft.shape[-1]].astype(jnp.float32)
+    nb_feat = nb[..., label_soft.shape[-1] :].astype(jnp.float32)
+    features = features.astype(jnp.float32)
+    label_soft = label_soft.astype(jnp.float32)
 
     # ignore-labeled points carry all-zero soft labels (subscene_labels):
     # exclude them as centers AND as neighbors (the reference's ignored-label
