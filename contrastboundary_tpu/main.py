@@ -460,6 +460,41 @@ def run_test(cfg, logger, exp_dir: str, model_path: str, out_dir: str = ""):
     return out_dir
 
 
+def calibrate(cfg, logger, max_clouds: int = 10):
+    """Measure the dataset and print the static caps to put in the config —
+    the reference's calibrate_batches/calibrate_neighbors
+    (tensorflow/datasets/base.py:158-294) rerun as a host pass over sample
+    clouds (see data/calibrate.py for the criterion)."""
+    from .data.calibrate import (
+        calibrate_crop_points,
+        calibrate_neighborhood_limits,
+    )
+
+    ds = build_dataset(cfg, "train")
+    clouds = [ds.room(i)[0] for i in range(min(ds.num_rooms, max_clouds))]
+
+    n_points = calibrate_crop_points(
+        clouds, cfg.data.in_radius, cfg.data.voxel_size,
+        max_clouds=max_clouds,
+    )
+    logger.info(
+        f"calibrated crop size (radius {cfg.data.in_radius} m, "
+        f"90th pct, pow2): data.n_points={n_points}"
+    )
+    if cfg.model.arch == "convnet":
+        nl = len(cfg.model.strides)
+        radii = [cfg.model.base_radius * 2**i for i in range(nl)]
+        cells = [cfg.data.voxel_size * 2**i for i in range(nl)]
+        limits = calibrate_neighborhood_limits(
+            clouds, radii, cells, max_clouds=max_clouds
+        )
+        logger.info(
+            f"calibrated neighbor caps (80% untouched criterion): "
+            f"model.neighborhood_limits={limits}"
+        )
+    return n_points
+
+
 def check_pipeline(cfg, logger, num_batches: int = 8):
     """Input-pipeline check harness: runs the batch iterator standalone and
     reports timing + label/occupancy histograms (the reference's
@@ -503,7 +538,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="contrastboundary_tpu")
     parser.add_argument("-c", "--config", default="synthetic_tiny")
     parser.add_argument("--mode", default="train",
-                        choices=["train", "val", "test", "check"])
+                        choices=["train", "val", "test", "check", "calibrate"])
     parser.add_argument("--set", dest="sets", default=None,
                         help="overrides a.b:v;c.d:v")
     parser.add_argument("--model_path", default="auto",
@@ -546,6 +581,8 @@ def main(argv=None):
         train(cfg, logger, exp_dir)
     elif args.mode == "check":
         check_pipeline(cfg, logger)
+    elif args.mode == "calibrate":
+        calibrate(cfg, logger)
     elif args.mode == "test":
         run_test(cfg, logger, exp_dir, args.model_path, args.out_dir)
     else:
