@@ -62,6 +62,11 @@ class ModelConfig:
     # 'tile': tile-local CBL gathers under the NATURAL layout (sorts the
     # contrast stages on the fly; implied for every stage under 'sorted')
     contrast_mode: str = "dense"  # dense | tile
+    # tile-window half-widths (sorted layout) and the approx-top-k recall
+    # target (0 → exact lax.top_k; cheap within tile windows)
+    self_window: int = 1
+    contrast_window: int = 1
+    knn_recall: float = 0.95
     # --- convnet family (reference config/s3dis/adapt.yaml defaults) ---
     aggregation: str = "adaptive_weight"  # pospool | adaptive_weight | pointwisemlp | pseudo_grid | identity
     agg_kwargs: Tuple[Tuple[str, Any], ...] = ()
@@ -177,6 +182,9 @@ class Config:
             knn_window=m.knn_window,
             layout=m.layout,
             contrast_mode=m.contrast_mode,
+            self_window=m.self_window,
+            contrast_window=m.contrast_window,
+            knn_recall=m.knn_recall if m.knn_recall > 0 else None,
         )
 
     def build_model(self):
