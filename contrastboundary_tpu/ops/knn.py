@@ -21,6 +21,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
+# below this row width, exact lax.top_k is cheap and approx_max_k's
+# PartialReduce granularity costs real recall (measured: window-restricted
+# approx top-k at W=768 drops contrast-KNN recall to 0.87 and ~2 mIoU on the
+# synthetic ablation; exact in-window top-k recovers it and costs ~nothing —
+# the round-1 top_k pathology was 16k-wide rows, not these)
+_EXACT_TOPK_WIDTH = 2048
+
+
+def _window_topk(neg_d2: jax.Array, k: int, recall: float | None):
+    """Top-k within a tile window: exact below _EXACT_TOPK_WIDTH."""
+    w = neg_d2.shape[-1]
+    if recall is not None and k < w and w > _EXACT_TOPK_WIDTH:
+        return lax.approx_max_k(neg_d2, k, recall_target=recall)
+    return lax.top_k(neg_d2, k)
+
+
 def pairwise_sqdist(query: jax.Array, support: jax.Array) -> jax.Array:
     """Squared euclidean distances. query [M, 3], support [N, 3] → [M, N]."""
     qf = query.astype(jnp.float32)
@@ -280,10 +296,7 @@ def tile_self_knn(
                 # keep exact-zero non-self rows (duplicates vote as the
                 # reference's duplicates do)
             k_eff = min(k, w_sz)
-            if recall is not None and k_eff < w_sz:
-                neg, ci = lax.approx_max_k(-d2, k_eff, recall_target=recall)
-            else:
-                neg, ci = lax.top_k(-d2, k_eff)
+            neg, ci = _window_topk(-d2, k_eff, recall)
             if k_eff < k:  # tiny level: pad missing neighbors with shadows
                 ci = jnp.pad(ci, ((0, 0), (0, k - k_eff)), constant_values=w_sz)
                 neg = jnp.pad(
@@ -352,10 +365,7 @@ def tile_cross_knn(
             qtile, s0 = args
             cand = jax.lax.dynamic_slice(ss, (s0, 0), (w_sz, 3))
             d2 = pairwise_sqdist(qtile, cand)
-            if recall is not None and k_eff < w_sz:
-                neg, ci = lax.approx_max_k(-d2, k_eff, recall_target=recall)
-            else:
-                neg, ci = lax.top_k(-d2, k_eff)
+            neg, ci = _window_topk(-d2, k_eff, recall)
             gi = s0 + ci  # global support row
             if k_eff < k:
                 gi = jnp.pad(gi, ((0, 0), (0, k - k_eff)), constant_values=n)
