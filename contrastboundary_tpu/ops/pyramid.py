@@ -45,7 +45,7 @@ class PyramidSpec:
     k_up: int = 3
     k_contrast: Optional[Tuple[int, ...]] = None
     with_subscene: bool = False
-    sampler: str = "bucket_fps"  # fps | bucket_fps | serialized | voxel
+    sampler: str = "bucket_fps"  # fps | bucket_fps | serialized | strided | voxel
     num_buckets: int = 64
     knn_chunk: int = 2048
     # ConvNet radius semantics: KNN results beyond radius get the shadow
@@ -159,7 +159,9 @@ def _sample(points: jax.Array, m: int, spec: PyramidSpec, level: int = 1) -> jax
         if g <= 1:
             return fps(points, m)
         return bucket_fps(points, m, g)
-    if spec.sampler == "serialized":
+    if spec.sampler in ("serialized", "strided"):
+        # natural layout has no inherited order — 'strided' degrades to the
+        # re-sorting serialized sampler there
         return serialized_sample(points, m)
     if spec.sampler == "random":
         # RandLA-Net-style uniform random decimation (BASELINE configs[1]):
@@ -264,10 +266,14 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     for l in range(1, spec.num_levels):
         prev = pts[l - 1]
         m = prev.shape[1] // spec.strides[l]
-        if sorted_layout and spec.sampler == "serialized":
-            # the level is already Morton-sorted: serialized (strided-curve)
-            # sampling is a pure strided row pick — no argsort, no FPS chain
-            # (PTv3-style serialized pooling on the inherited order)
+        if sorted_layout and spec.sampler == "strided":
+            # the level is already Morton-sorted: strided sampling is a pure
+            # strided row pick of the INHERITED curve order — no argsort, no
+            # FPS chain (PTv3-style serialized pooling). Differs from
+            # 'serialized' only in tie-level details: 'serialized' re-sorts
+            # each level by its own (subset-normalized) Morton codes, so it
+            # selects identical sets in both layouts (the equivalence tests
+            # rely on that); 'strided' keeps the parent level's rank order.
             n_prev = prev.shape[1]
             stride_idx = jnp.linspace(0, n_prev - 1, m).round().astype(jnp.int32)
             idx = jnp.broadcast_to(stride_idx[None], (b, m))
