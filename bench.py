@@ -49,10 +49,12 @@ def main():
     from contrastboundary_tpu.train.state import make_optimizer
 
     b, n = 4, 16384  # 65,536 points per step per chip
+    # the s3dis_pt_cbl_bf16 preset's pyramid/model configuration
     spec = PyramidSpec(
-        k_contrast=(36, 24, 24, 24, 24), with_subscene=True, layout="sorted"
+        k_contrast=(36, 24, 24, 24, 24), with_subscene=True,
+        layout="sorted", sampler="strided",
     )
-    model = PointTransformerSeg(num_classes=13)
+    model = PointTransformerSeg(num_classes=13, dtype=jnp.bfloat16)
     cfg = TrainStepConfig(
         num_classes=13, spec=spec, contrast=ContrastConfig()
     )

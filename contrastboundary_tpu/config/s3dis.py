@@ -11,10 +11,15 @@ Reference sources:
 from .base import register_config
 
 # flagship: point-transformer + CBL on S3DIS
+# production presets run the Morton-sorted tile fast path (PERF.md round 2:
+# 3x the natural-layout throughput; synthetic seed-paired accuracy parity,
+# ABLATION.md). The *_paper presets keep layout='natural' for protocol-exact
+# reference parity.
 register_config(
     "s3dis_pt_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 80000,
           "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"layout": "sorted", "sampler": "strided"},
     optim={"base_lr": 0.5, "momentum": 0.9, "weight_decay": 1e-4,
            "schedule": "multistep", "milestones": (0.6, 0.8),
            "multiplier": 0.1, "epochs": 200, "batch_size": 16},
@@ -26,6 +31,7 @@ register_config(
     "s3dis_pt",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 80000,
           "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"layout": "sorted", "sampler": "strided"},
     optim={"base_lr": 0.5, "momentum": 0.9, "weight_decay": 1e-4,
            "schedule": "multistep", "milestones": (0.6, 0.8),
            "multiplier": 0.1, "epochs": 200, "batch_size": 16},
@@ -37,10 +43,25 @@ register_config(
     "s3dis_pt_cbl_kl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 80000,
           "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"layout": "sorted", "sampler": "strided"},
     optim={"base_lr": 0.5, "momentum": 0.9, "weight_decay": 1e-4,
            "schedule": "multistep", "milestones": (0.6, 0.8),
            "multiplier": 0.1, "epochs": 200, "batch_size": 16},
     arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-labelkl.5-l2-w.1",
+)
+
+# bfloat16 fast-path variant (bench.py's configuration): identical to
+# s3dis_pt_cbl plus model.dtype=bfloat16 (loss math stays f32 —
+# losses/contrast.py); measured 759k pts/s/chip vs 620k at f32 (PERF.md)
+register_config(
+    "s3dis_pt_cbl_bf16",
+    data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 80000,
+          "n_points": 65536, "loop": 30, "num_classes": 13},
+    model={"layout": "sorted", "sampler": "strided", "dtype": "bfloat16"},
+    optim={"base_lr": 0.5, "momentum": 0.9, "weight_decay": 1e-4,
+           "schedule": "multistep", "milestones": (0.6, 0.8),
+           "multiplier": 0.1, "epochs": 200, "batch_size": 16},
+    arch_out="multi-Ua-concat-latent|contrast-Ua-softnn-latent-label-l2-w.1",
 )
 
 # ConvNet + CBL (the 69.4-mIoU row: adaptive_weight aggregation,
