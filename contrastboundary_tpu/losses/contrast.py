@@ -57,6 +57,10 @@ class ContrastConfig:
     # negatives (DSL tokens `nn4` / `rand8`)
     extra_pos_nn: int = 0
     extra_neg_rand: int = 0
+    # 'pallas' → fused per-tile kernel for the flagship option point
+    # (softnn · l2/norml2 · cnt, tile-local indices); other option
+    # combinations always use the XLA path (ops/pallas/cbl_tile.py)
+    impl: str = "xla"  # xla | pallas
 
 
 def subscene_labels(
@@ -135,12 +139,17 @@ def _dist(cfg: ContrastConfig, f, nb_f, pre_normalized: bool = False):
 def _contrast_softnn(cfg, dist, posmask, valid):
     """−log(Σ_pos e^{−d/T} / Σ_all e^{−d/T}) per point
     (pytorch/model/heads.py:151-165)."""
+    vb = valid > 0
     d = -dist
     d = d - jax.lax.stop_gradient(
-        jnp.max(jnp.where(valid, d, -INF), axis=-1, keepdims=True)
+        jnp.max(jnp.where(vb, d, -INF), axis=-1, keepdims=True)
     )
     if cfg.temperature is not None:
         d = d / cfg.temperature
+    # rows with NO valid samples keep the −INF reference → d−ref = +INF and
+    # exp(+INF)·0 = NaN would poison the masked mean (0·NaN); pin invalid
+    # slots to a finite exponent instead (they are excluded downstream)
+    d = jnp.where(vb, d, -50.0)
     e = jnp.exp(d) * valid
     pos = jnp.sum(e * posmask, axis=-1)
     neg = jnp.sum(e, axis=-1)
@@ -156,12 +165,14 @@ def _contrast_nce(cfg, dist, posmask, valid):
     The pytorch stack's variant (heads.py:167-183, per-pos+neg denominator,
     flat mean) is NOT the published semantics of `nce` op-strings.
     """
+    vb = valid > 0
     d = -dist
     d = d - jax.lax.stop_gradient(
-        jnp.max(jnp.where(valid, d, -INF), axis=-1, keepdims=True)
+        jnp.max(jnp.where(vb, d, -INF), axis=-1, keepdims=True)
     )
     if cfg.temperature is not None:
         d = d / cfg.temperature
+    d = jnp.where(vb, d, -50.0)  # see _contrast_softnn: no-valid-row NaN guard
     e = jnp.exp(d) * valid
     under = jnp.sum(e, axis=-1, keepdims=True)  # all valid samples
     ratio = e / jnp.maximum(under, EPS)
@@ -227,6 +238,30 @@ def cbl_stage_loss(
     fused = jnp.concatenate(
         [label_soft.astype(fuse_dtype), features.astype(fuse_dtype)], -1
     )
+
+    if (
+        local is not None
+        and cfg.impl == "pallas"
+        and cfg.contrast == "softnn"
+        and cfg.dist in ("l2", "norml2")  # norml2 pre-normalized above
+        and cfg.pos == "cnt"
+        and not cfg.extra_pos_nn
+        and not cfg.extra_neg_rand
+        and cfg.temperature is not None
+    ):
+        # fused per-tile kernel: the whole stage loss (gather matmuls,
+        # posmask, distances, softnn, masked reduction + analytic backward)
+        # stays in VMEM — no [B, M, K, C] HBM tensors (ops/pallas/cbl_tile.py)
+        from ..ops.pallas.cbl_tile import cbl_tile_softnn
+
+        ls, ms = cbl_tile_softnn(
+            fused, contrast_idx, label_soft.shape[-1],
+            float(cfg.temperature), local[0], local[1], (local[1] - 1) // 2,
+            jax.default_backend() == "cpu",  # interpret on the CPU mesh
+        )
+        return (
+            jnp.sum(ls) / jnp.maximum(jnp.sum(ms), 1.0) * cfg.weight
+        )
 
     samp = (
         jnp.concatenate(idx_parts, axis=-1)
