@@ -20,10 +20,13 @@ import pytest
 # 8-device mesh is what tests see.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: the tiny test models cost minutes to compile on
-# CPU the first time; cached re-runs are seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache — deliberately (round-2 verdict, weak #6).
+# XLA:CPU serializes AOT executables with pseudo target features that its
+# own loader rejects on reload; a reloaded multi-device executable kills a
+# device thread mid-collective (rendezvous SIGABRT). Cached CPU executables
+# are a time bomb for every 8-virtual-device sharding test here; recompile
+# cost is the price of a suite that is green on every run, not just the
+# first after a cache wipe.
 
 
 @pytest.fixture
