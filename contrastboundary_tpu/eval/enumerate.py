@@ -63,9 +63,15 @@ class EnumerateEvaluator:
             passes = [
                 order[starts + i % counts] for i in range(int(counts.max()))
             ]
+        # Crop bound: the reference crops at voxel_max (test.py:197); here a
+        # part must also fit the STATIC device shape n_points, or its tail
+        # would be silently dropped (round-2 verdict, weak #3 — every S3DIS
+        # preset has voxel_max 80000 > n_points 65536). voxel_max stays the
+        # protocol bound only when it already fits.
+        cap = min(self.voxel_max, self.n_points)
         parts: List[np.ndarray] = []
         for part in passes:
-            if len(part) <= self.voxel_max:
+            if len(part) <= cap:
                 parts.append(part)
                 continue
             # potential-min crop loop (test.py:197-217)
@@ -75,7 +81,7 @@ class EnumerateEvaluator:
             while not covered.all():
                 center = int(np.argmin(pot))
                 d2 = np.sum((cp - cp[center]) ** 2, axis=1)
-                crop = np.argsort(d2)[: self.voxel_max]
+                crop = np.argsort(d2)[:cap]
                 d2c = d2[crop]
                 pot[crop] += np.square(1 - d2c / max(d2c.max(), 1e-9))
                 covered[crop] = True
@@ -88,11 +94,13 @@ class EnumerateEvaluator:
             pts, fts, srcs = [], [], []
             for part in group:
                 src = part
+                assert len(src) <= self.n_points, (
+                    "part exceeds the static device shape — _make_parts must "
+                    f"cap at n_points ({len(src)} > {self.n_points})"
+                )
                 if len(src) < self.n_points:
                     extra = rng.integers(0, len(src), self.n_points - len(src))
                     src = np.concatenate([src, src[extra]])
-                elif len(src) > self.n_points:  # only if n_points < voxel_max
-                    src = src[: self.n_points]
                 c = coord[src]
                 pts.append(c - c.min(0))
                 fts.append(feat[src] / 255.0)

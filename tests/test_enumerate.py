@@ -81,3 +81,25 @@ def test_crop_loop_covers_oversized_parts(rng):
     ev.run()
     assert (ev.pred_counts[0] > 0).all()
     assert len(calls) > 3  # needed several crop batches
+
+
+def test_voxel_max_above_n_points_never_truncates(rng):
+    """Regression (round-2 verdict, weak #3): with voxel_max > n_points —
+    every real S3DIS preset (80000 vs 65536) — parts used to be cut to
+    src[:n_points], silently dropping tail points. Parts must now be capped
+    at n_points by the crop loop so every room point gets ≥1 prediction."""
+    ds = _OracleDS(rng, n=3000)
+    seen = []
+
+    def predict(batch):
+        seen.append(batch["points"].shape)
+        return np.zeros((*batch["points"].shape[:2], 2), np.float32)
+
+    ev = EnumerateEvaluator(
+        ds, predict, num_classes=2, n_points=2048, batch_size=2,
+        voxel_size=0.01, voxel_max=3000, seed=0,  # voxel_max > n_points
+    )
+    ev.run()  # the internal counts>0 assert must not fire
+    assert (ev.pred_counts[0] > 0).all()
+    # the device shape stayed static at n_points
+    assert all(s[1] == 2048 for s in seen)
