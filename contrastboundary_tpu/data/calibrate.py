@@ -72,8 +72,11 @@ def calibrate_neighborhood_limits(
         if total == 0:
             limits.append(hist_max)
             continue
+        # smallest neighbor count whose cumulative histogram reaches the
+        # keep ratio — sum(cumsum < ratio*total), exactly the reference's
+        # criterion (datasets/base.py:199-294)
         cum = np.cumsum(hist)
-        limits.append(int(np.argmax(cum >= keep_ratio * total)) + 1)
+        limits.append(int(np.sum(cum < keep_ratio * total)))
     return tuple(limits)
 
 

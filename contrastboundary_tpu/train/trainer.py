@@ -153,7 +153,7 @@ def make_eval_step(
         from ..core.gather import batch_gather
 
         pyramid = build_pyramid(batch["points"], eval_spec)
-        features, labels = batch["features"], batch["labels"]
+        features = batch["features"]
         inv0 = None
         if pyramid.order0 is not None:
             # layout='sorted': model inputs/outputs live in Morton-sorted
@@ -161,7 +161,6 @@ def make_eval_step(
             # (voting/reprojection index into the original crop rows), so
             # un-permute with the inverse order (a cheap N-row scatter).
             features = batch_gather(features, pyramid.order0)
-            labels = batch_gather(labels, pyramid.order0)
             b, n = pyramid.order0.shape
             inv0 = (
                 jnp.zeros_like(pyramid.order0)
