@@ -40,6 +40,13 @@ _WEIGHT_RE = re.compile(r"^w(\d*\.?\d+)$")
 # (tensorflow/config/s3dis.py:151-157 op-strings like '...-l2-mT.5-w.1')
 _TEMP_RE = re.compile(r"^m?T(\d*\.?\d+)$")
 _LABELKL_RE = re.compile(r"^labelkl(\d*\.?\d+)?$")
+# margin token 'm<x>' (not 'mask'/'max'): reference config/head.py:161-162
+# strips the leading 'm'; inside the value 'T<f>' sets temperature and 'S'
+# the separate-pos term (head.py:740-741, 763, 784); other values ('.1',
+# 'I') are stored but inert, exactly like the reference loss
+_MARGIN_RE = re.compile(r"^m(?!ask$)(?!ax$)(\S+)$")
+_MASK_RE = re.compile(r"^mask(\d*\.?\d+|\.\d+)?$")
+_POWER_RE = re.compile(r"^p(\d*\.?\d+)$")
 
 
 def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
@@ -82,6 +89,20 @@ def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
             kw["weight"] = float(t[1:])
         elif _TEMP_RE.match(t):
             kw["temperature"] = float(_TEMP_RE.match(t).group(1))
+        elif _MASK_RE.match(t):
+            # 'mask' / 'mask.1': nce flat mean over positive terms
+            # (head.py:730-732, 796-798; the float suffix is parsed but
+            # numerically inert in the reference — same here)
+            kw["mask_mode"] = True
+        elif _MARGIN_RE.match(t):
+            val = _MARGIN_RE.match(t).group(1)
+            kw["margin"] = val
+            if "T" in val:
+                kw["temperature"] = float(val[val.index("T") + 1 :])
+            if "S" in val:
+                kw["separate_pos"] = True
+        elif _POWER_RE.match(t):
+            kw["power"] = float(_POWER_RE.match(t).group(1))
         elif t.startswith("proj"):
             kw["project"] = t[4:] or "mlp"
         elif t in ("nst", "max", "soft"):
@@ -133,12 +154,17 @@ def parse_multi_ops(ops: str, num_layers: int = 5) -> dict:
         "branch_loss": "",
         "branch_weight": 1.0,
         "condition": "",
+        "sep_head": False,
     }
     for t in tokens:
         if not t:
             continue
         if t in ("concat", "concatmlp", "sum"):
             out["combine"] = t
+        elif t == "sep":
+            # separate decoder branches per head (reference sep_head,
+            # tensorflow/models/heads/seg_head.py:93-102; see MultiHead)
+            out["sep_head"] = True
         elif t in ("latent", "logits", "probs", "f_out", "fout"):
             out["ftype"] = "f_out" if t == "fout" else t
         elif _BRANCH_LOSS_RE.match(t):

@@ -57,6 +57,23 @@ class ContrastConfig:
     # negatives (DSL tokens `nn4` / `rand8`)
     extra_pos_nn: int = 0
     extra_neg_rand: int = 0
+    # margin token value (DSL `m<x>`, reference config/head.py:161-162, e.g.
+    # '.1', 'I', 'S', 'T2'). In the reference loss (head.py:729-803) only two
+    # sub-flags are numerically active: 'T<f>' (temperature, parsed into
+    # `temperature`) and 'S' (parsed into `separate_pos`); numeric margins
+    # like 'm.1'/'mI' are stored but inert unless a bare `mask` token
+    # borrows them as its truthy flag — reproduced faithfully here.
+    margin: str = ""
+    # 'S' in margin: softnn contrasts pos/Σneg instead of pos/(pos+neg);
+    # nce uses a per-sample denominator exp_k + Σ neg exps (head.py:763-766,
+    # 784-788)
+    separate_pos: bool = False
+    # 'mask' token (head.py:730-732, 796-798): nce reduces by a flat mean
+    # over every positive term instead of per-point sums. softnn + mask is
+    # asserted out by the reference (head.py:756).
+    mask_mode: bool = False
+    # 'p<x>' power post-op on the per-point/per-term loss (head.py:800-803)
+    power: float = 1.0
     # 'pallas' → fused per-tile kernel for the flagship option point
     # (softnn · l2/norml2 · cnt, tile-local indices); other option
     # combinations always use the XLA path (ops/pallas/cbl_tile.py)
@@ -138,7 +155,9 @@ def _dist(cfg: ContrastConfig, f, nb_f, pre_normalized: bool = False):
 
 def _contrast_softnn(cfg, dist, posmask, valid):
     """−log(Σ_pos e^{−d/T} / Σ_all e^{−d/T}) per point
-    (pytorch/model/heads.py:151-165)."""
+    (pytorch/model/heads.py:151-165). With cfg.separate_pos ('S' margin,
+    tensorflow/models/heads/head.py:763-766) the denominator is the
+    NEGATIVES-only sum: −log(Σ_pos / Σ_neg)."""
     vb = valid > 0
     d = -dist
     d = d - jax.lax.stop_gradient(
@@ -152,8 +171,36 @@ def _contrast_softnn(cfg, dist, posmask, valid):
     d = jnp.where(vb, d, -50.0)
     e = jnp.exp(d) * valid
     pos = jnp.sum(e * posmask, axis=-1)
-    neg = jnp.sum(e, axis=-1)
-    return -jnp.log(pos / jnp.maximum(neg, EPS) + EPS)
+    if cfg.separate_pos:
+        under = jnp.sum(e * (valid - posmask), axis=-1)
+    else:
+        under = jnp.sum(e, axis=-1)
+    return -jnp.log(pos / jnp.maximum(under, EPS) + EPS)
+
+
+def _nce_terms(cfg, dist, posmask, valid):
+    """Per-sample InfoNCE terms [B, M, K] and the positive-term mask.
+
+    Default denominator is Σ over all valid pos+neg samples
+    (tensorflow/models/heads/head.py:789-791); with cfg.separate_pos ('S')
+    it is per-sample: exp_k + Σ neg exps (head.py:784-788).
+    """
+    vb = valid > 0
+    d = -dist
+    d = d - jax.lax.stop_gradient(
+        jnp.max(jnp.where(vb, d, -INF), axis=-1, keepdims=True)
+    )
+    if cfg.temperature is not None:
+        d = d / cfg.temperature
+    d = jnp.where(vb, d, -50.0)  # see _contrast_softnn: no-valid-row NaN guard
+    e = jnp.exp(d) * valid
+    if cfg.separate_pos:
+        under = e + jnp.sum(e * (valid - posmask), axis=-1, keepdims=True)
+    else:
+        under = jnp.sum(e, axis=-1, keepdims=True)  # all valid samples
+    ratio = e / jnp.maximum(under, EPS)
+    per_pos = -jnp.log(ratio + EPS)
+    return per_pos, posmask * valid
 
 
 def _contrast_nce(cfg, dist, posmask, valid):
@@ -165,19 +212,7 @@ def _contrast_nce(cfg, dist, posmask, valid):
     The pytorch stack's variant (heads.py:167-183, per-pos+neg denominator,
     flat mean) is NOT the published semantics of `nce` op-strings.
     """
-    vb = valid > 0
-    d = -dist
-    d = d - jax.lax.stop_gradient(
-        jnp.max(jnp.where(vb, d, -INF), axis=-1, keepdims=True)
-    )
-    if cfg.temperature is not None:
-        d = d / cfg.temperature
-    d = jnp.where(vb, d, -50.0)  # see _contrast_softnn: no-valid-row NaN guard
-    e = jnp.exp(d) * valid
-    under = jnp.sum(e, axis=-1, keepdims=True)  # all valid samples
-    ratio = e / jnp.maximum(under, EPS)
-    per_pos = -jnp.log(ratio + EPS)
-    pmask = posmask * valid
+    per_pos, pmask = _nce_terms(cfg, dist, posmask, valid)
     return jnp.sum(per_pos * pmask, axis=-1)
 
 
@@ -248,6 +283,9 @@ def cbl_stage_loss(
         and not cfg.extra_pos_nn
         and not cfg.extra_neg_rand
         and cfg.temperature is not None
+        and not cfg.separate_pos
+        and not cfg.mask_mode
+        and cfg.power == 1.0
     ):
         # fused per-tile kernel: the whole stage loss (gather matmuls,
         # posmask, distances, softnn, masked reduction + analytic backward)
@@ -315,12 +353,29 @@ def cbl_stage_loss(
 
     dist = _dist(cfg, features, nb_feat, pre_normalized=(cfg.dist == "norml2"))
     if cfg.contrast == "softnn":
+        if cfg.mask_mode:
+            # the reference asserts this combination out (head.py:756)
+            raise ValueError("softnn does not support the 'mask' token")
         loss = _contrast_softnn(cfg, dist, posmask, validf)
     elif cfg.contrast == "nce":
+        if cfg.mask_mode:
+            # flat mean over every positive term (head.py:796-798: the
+            # boolean_mask over pos_mask followed by reduce_mean) — each log
+            # term is one contrastive example, instead of per-point sums
+            per_pos, pmask = _nce_terms(cfg, dist, posmask, validf)
+            if cfg.power != 1.0:
+                per_pos = per_pos**cfg.power
+            w = pmask * point_mask[..., None]
+            return (
+                jnp.sum(per_pos * w) / jnp.maximum(jnp.sum(w), 1.0)
+            ) * cfg.weight
         loss = _contrast_nce(cfg, dist, posmask, validf)
     else:
         raise ValueError(f"unknown contrast {cfg.contrast!r}")
 
+    if cfg.power != 1.0:
+        # 'p<x>' post-op on the per-point loss (head.py:800-803)
+        loss = loss**cfg.power
     return masked_mean(loss, point_mask) * cfg.weight
 
 

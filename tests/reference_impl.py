@@ -146,3 +146,55 @@ def cbl_softnn_np(features, neighbor_idx, labels_soft, temperature=1.0):
     neg = e.sum(-1)
     loss = -np.log(pos / neg + eps)
     return loss.mean()
+
+
+def cbl_aug_np(
+    features, neighbor_idx, labels_soft, contrast="softnn", temperature=None,
+    separate_pos=False, mask_mode=False, power=1.0,
+):
+    """Margin/mask/power re-derivation of tensorflow/models/heads/head.py:
+    747-806 (calc_loss_from_dist): 'S' separate pos term (:763-766, :784-788),
+    'mask' nce flat mean over positive terms (:796-798), 'p<x>' power post-op
+    (:800-803). cnt posmask + l2 dist; all neighbors valid (dense KNN)."""
+    eps = 1e-12
+    k = neighbor_idx.shape[1]
+    nb_label = labels_soft[neighbor_idx]
+    nb_feat = features[neighbor_idx]
+    posmask = labels_soft.argmax(-1)[:, None] == nb_label.argmax(-1)
+    cnt = posmask.sum(-1)
+    point_mask = (0 < cnt) & (cnt < k)
+    if not point_mask.any():
+        return 0.0
+    pm = posmask[point_mask]
+    negm = ~pm
+    f = features[point_mask]
+    nf = nb_feat[point_mask]
+    dist = np.sqrt(((f[:, None, :] - nf) ** 2).sum(-1) + eps)
+    d = -dist
+    if temperature is not None:
+        d = d / temperature
+    d = d - d.max(-1, keepdims=True)
+    e = np.exp(d)
+    if contrast == "softnn":
+        pos = (e * pm).sum(-1)
+        neg = (e * negm).sum(-1)
+        ratio = pos / np.maximum(neg, eps) if separate_pos else pos / (pos + neg)
+        loss = -np.log(ratio + eps)
+        if power != 1.0:
+            loss = loss**power
+        return loss.mean()
+    # nce
+    if separate_pos:
+        under = e + (e * negm).sum(-1, keepdims=True)  # per-sample (:784-788)
+    else:
+        under = e.sum(-1, keepdims=True)  # all pos+neg (:789-791)
+    terms = -np.log(e / under + eps)
+    if mask_mode:
+        t = terms[pm]  # every positive term is one example (:796-798)
+        if power != 1.0:
+            t = t**power
+        return t.mean()
+    loss = (terms * pm).sum(-1)
+    if power != 1.0:
+        loss = loss**power
+    return loss.mean()

@@ -322,3 +322,93 @@ def test_cbl_recur_label_inference(rng):
     assert not np.allclose(np.asarray(direct), np.asarray(lv))
     # but both must agree on the dominant class for clean labels
     assert (np.asarray(direct).argmax(-1) == np.asarray(lv).argmax(-1)).mean() > 0.9
+
+
+def _margin_setup(rng, m=48, c=8, ncls=4, k=7):
+    from reference_impl import cbl_aug_np
+
+    feats = rng.randn(1, m, c).astype(np.float32)
+    pts = rng.rand(1, m, 3).astype(np.float32)
+    labels = (pts[0, :, 0] * 2).astype(np.int64) % ncls
+    label_soft = np.eye(ncls, dtype=np.float32)[labels][None]
+    idx, _ = knn(jnp.asarray(pts), jnp.asarray(pts), k, exclude_self=True)
+    return feats, label_soft, idx, cbl_aug_np
+
+
+def test_cbl_separate_pos_softnn_golden(rng):
+    """'S' margin: softnn contrasts pos/Σneg (head.py:763-766)."""
+    feats, label_soft, idx, ref_fn = _margin_setup(rng)
+    cfg = ContrastConfig(
+        contrast="softnn", separate_pos=True, margin="S", weight=0.1,
+    )
+    loss = float(
+        cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
+    )
+    ref = ref_fn(
+        feats[0], np.asarray(idx)[0], label_soft[0],
+        contrast="softnn", temperature=1.0, separate_pos=True,
+    )
+    np.testing.assert_allclose(loss, 0.1 * ref, rtol=1e-4)
+    # and it differs from the default pos/(pos+neg) form
+    base = float(
+        cbl_stage_loss(
+            jnp.asarray(feats), idx, jnp.asarray(label_soft),
+            ContrastConfig(contrast="softnn", weight=0.1),
+        )
+    )
+    assert abs(loss - base) > 1e-6
+
+
+def test_cbl_separate_pos_nce_golden(rng):
+    """'S' margin: nce per-sample denominator exp_k + Σneg (head.py:784-788)."""
+    feats, label_soft, idx, ref_fn = _margin_setup(rng)
+    cfg = ContrastConfig(
+        contrast="nce", separate_pos=True, margin="S", weight=0.1,
+    )
+    loss = float(
+        cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
+    )
+    ref = ref_fn(
+        feats[0], np.asarray(idx)[0], label_soft[0],
+        contrast="nce", temperature=1.0, separate_pos=True,
+    )
+    np.testing.assert_allclose(loss, 0.1 * ref, rtol=1e-4)
+
+
+def test_cbl_mask_mode_nce_golden(rng):
+    """'mask' token: nce flat mean over every positive term (head.py:796-798)."""
+    feats, label_soft, idx, ref_fn = _margin_setup(rng)
+    cfg = ContrastConfig(contrast="nce", mask_mode=True, weight=0.1)
+    loss = float(
+        cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
+    )
+    ref = ref_fn(
+        feats[0], np.asarray(idx)[0], label_soft[0],
+        contrast="nce", temperature=1.0, mask_mode=True,
+    )
+    np.testing.assert_allclose(loss, 0.1 * ref, rtol=1e-4)
+
+
+def test_cbl_power_golden(rng):
+    """'p<x>' power post-op on the per-point loss (head.py:800-803)."""
+    feats, label_soft, idx, ref_fn = _margin_setup(rng)
+    for contrast in ("softnn", "nce"):
+        cfg = ContrastConfig(contrast=contrast, power=2.0, weight=0.1)
+        loss = float(
+            cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
+        )
+        ref = ref_fn(
+            feats[0], np.asarray(idx)[0], label_soft[0],
+            contrast=contrast, temperature=1.0, power=2.0,
+        )
+        np.testing.assert_allclose(loss, 0.1 * ref, rtol=1e-4, err_msg=contrast)
+
+
+def test_cbl_softnn_mask_raises(rng):
+    """The reference asserts softnn+mask out (head.py:756)."""
+    import pytest
+
+    feats, label_soft, idx, _ = _margin_setup(rng)
+    cfg = ContrastConfig(contrast="softnn", mask_mode=True)
+    with pytest.raises(ValueError):
+        cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
