@@ -101,6 +101,7 @@ class BoundaryEvaluator:
             for which in ("bound", "plain", "ideal")
             for m in ("label", "pred")
         }
+        self.conf_total = np.zeros((c, c), np.int64)
         self.mask_i = 0
         self.mask_u = 0
         self.dist_acc: Dict[str, Dict[str, float]] = {}
@@ -122,6 +123,7 @@ class BoundaryEvaluator:
     ):
         pred = prob.argmax(-1)
         nb = radius_neighbors_np(coord, self.radius, self.max_k)
+        self.conf_total += self._conf(label, pred)
 
         masks = {}
         for name, lab in (("label", label), ("pred", pred)):
@@ -183,6 +185,39 @@ class BoundaryEvaluator:
         acc["plain_cnt"] += float(plain.sum())
         acc["boundmax"] += float(max_d[bound].sum())
         acc["plainmax"] += float(max_d[plain].sum())
+
+    def stat(self) -> dict:
+        """Per-class boundary error tables — the reference's 'stat' extra op
+        (tensorflow/utils/tester.py:800-830): for the total confusion and each
+        bound/plain × label/pred confusion, per-class TP (diagonal), FN
+        (row sum − TP) and FP (column sum − TP); plus the share of total
+        error mass that lives on boundary points per boundary-mask source.
+        """
+        confs = {"total": self.conf_total}
+        for mask_n in ("label", "pred"):
+            for conf_n in ("bound", "plain"):
+                confs[f"{mask_n}-{conf_n}"] = self.conf[
+                    f"conf_{conf_n}_{mask_n}"
+                ]
+        out: dict = {}
+        for name, conf in confs.items():
+            tp = np.diagonal(conf, axis1=-2, axis2=-1).copy()
+            out[name] = {
+                "TP": tp,
+                "FN": conf.sum(axis=-1) - tp,
+                "FP": conf.sum(axis=-2) - tp,
+            }
+        err_total = int(self.conf_total.sum() - out["total"]["TP"].sum())
+        out["err_total"] = err_total
+        for mask_n in ("label", "pred"):
+            b = confs[f"{mask_n}-bound"]
+            p = confs[f"{mask_n}-plain"]
+            err_bound = int(b.sum() - np.diagonal(b).sum())
+            err_plain = int(p.sum() - np.diagonal(p).sum())
+            out[f"err_bound_{mask_n}"] = err_bound
+            out[f"err_plain_{mask_n}"] = err_plain
+            out[f"pct_err_on_bound_{mask_n}"] = err_bound / max(err_total, 1)
+        return out
 
     def results(self) -> dict:
         out: dict = {

@@ -220,6 +220,22 @@ def run_eval(
                     f"  {key}: pos {d['pos']:.4f} neg {d['neg']:.4f} "
                     f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
                 )
+        if "stat" in extra_ops:
+            # per-class boundary FP/FN tables (tester.py:800-830)
+            st = bev.stat()
+            m["stat"] = st
+            for mask_n in ("label", "pred"):
+                logger.info(
+                    f"  stat[{mask_n}]: {st[f'pct_err_on_bound_{mask_n}']*100:5.1f}% "
+                    f"of error on bound ({st[f'err_bound_{mask_n}']} bound / "
+                    f"{st[f'err_plain_{mask_n}']} plain / {st['err_total']} total)"
+                )
+                for err_t in ("FP", "FN"):
+                    b = st[f"{mask_n}-bound"][err_t]
+                    p = st[f"{mask_n}-plain"][err_t]
+                    with np.printoptions(linewidth=200):
+                        logger.info(f"  stat {mask_n} bound {err_t}: {b}")
+                        logger.info(f"  stat {mask_n} plain {err_t}: {p}")
         if h5_path:
             save_eval_h5(h5_path, clouds)
             logger.info(f"saved eval artifacts to {h5_path}")
@@ -247,6 +263,21 @@ def train(cfg, logger, exp_dir: str):
     # in tests/test_multihost.py)
     proc_idx, proc_cnt = jax.process_index(), jax.process_count()
 
+    pot_state = None
+    if cfg.data.sampler == "potential":
+        # stateful spatially-regular sampler, persistent ACROSS epochs so
+        # coverage potentials keep accumulating (datasets/base.py:297-330)
+        from .data.pipeline import PotentialSampler
+
+        pot_state = PotentialSampler(
+            train_ds, cfg.data.voxel_size, in_radius=cfg.data.in_radius,
+            cap=cfg.data.voxel_max, seed=cfg.seed + proc_idx,
+        )
+        logger.info(
+            f"potential sampler over {len(pot_state.rooms)} rooms "
+            f"(in_radius {cfg.data.in_radius})"
+        )
+
     for epoch in range(cfg.optim.epochs):
         t0 = time.time()
         meters = {}
@@ -260,6 +291,7 @@ def train(cfg, logger, exp_dir: str):
                 voxel_size=cfg.data.voxel_size, voxel_max=cfg.data.voxel_max,
                 crop_mode=cfg.data.crop_mode, in_radius=cfg.data.in_radius,
                 shard_index=proc_idx, num_shards=proc_cnt,
+                sampler=cfg.data.sampler, potential_state=pot_state,
             ),
             depth=3,
         )
@@ -309,10 +341,28 @@ def train(cfg, logger, exp_dir: str):
             is_best = miou > best_miou
             best_miou = max(best_miou, miou)
             if (epoch + 1) % cfg.save_freq == 0 or is_best:
-                ckpt.save(int(state.step), state, best=is_best)
+                ckpt.save(int(state.step), state, best=is_best, metric=miou)
                 logger.info(f"saved snap-{int(state.step)}" + (" (best)" if is_best else ""))
     logger.info(f"training done; best full-cloud mIoU {best_miou:.4f}")
     return best_miou
+
+
+def _resolve_model_path(exp_dir: str, model_path: str, logger) -> str:
+    """'best' resolves ACROSS the experiment dir's `Log_*` runs (the
+    reference's get_best_val_snap, tensorflow/config/utils.py:280-310), not
+    just within this run's checkpoints/."""
+    if model_path != "best":
+        return model_path
+    from .train.checkpoint import find_best_snapshot
+
+    hit = find_best_snapshot(exp_dir)
+    if hit is None:
+        return model_path  # fall through to within-run resolution
+    miou = "" if hit["mIoU"] == float("-inf") else f" (mIoU {hit['mIoU']:.4f})"
+    logger.info(
+        f"best across runs: step {hit['step']}{miou} from {hit['run']}"
+    )
+    return hit["path"]
 
 
 def validate(
@@ -323,6 +373,7 @@ def validate(
 
     model, spec, step_cfg, state, mesh, _, _ = setup(cfg, logger)
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    model_path = _resolve_model_path(exp_dir, model_path, logger)
     state, skipped = ckpt.restore(state, model_path)
     if skipped:
         logger.info(f"partial restore skipped {len(skipped)} leaves")
@@ -403,6 +454,7 @@ def run_test(cfg, logger, exp_dir: str, model_path: str, out_dir: str = ""):
 
     model, spec, step_cfg, state, mesh, _, _ = setup(cfg, logger)
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    model_path = _resolve_model_path(exp_dir, model_path, logger)
     state, skipped = ckpt.restore(state, model_path)
     logger.info(f"restored step {int(state.step)} (skipped {len(skipped)})")
 

@@ -95,3 +95,52 @@ def test_h5_roundtrip(tmp_path, rng):
     for c in loaded:
         ev.add_cloud(c["coord"], c["label"], c["prob"])
     assert ev.results()["B-IoU"] == 1.0
+
+
+def test_stat_tables_match_numpy_rederivation(rng):
+    """'stat' extra op (reference tester.py:800-830): per-class TP/FP/FN over
+    total/bound/plain × label/pred confusions, re-derived independently."""
+    coord, label = two_region_cloud(rng=rng)
+    pred = label.copy()
+    flip = rng.rand(len(label)) < 0.3
+    pred[flip] = 1 - pred[flip]
+    prob = np.eye(2, dtype=np.float32)[pred] * 0.9 + 0.05
+
+    ev = BoundaryEvaluator(num_classes=2, radius=0.12)
+    ev.add_cloud(coord, label, prob)
+    st = ev.stat()
+
+    nb = radius_neighbors_np(coord, radius=0.12, max_k=30)
+
+    def conf_of(mask):
+        c = np.zeros((2, 2), np.int64)
+        np.add.at(c, (label[mask], pred[mask]), 1)
+        return c
+
+    conf_total = conf_of(np.ones(len(label), bool))
+    for name, conf in [("total", conf_total)] + [
+        (f"{mask_n}-{conf_n}", conf_of(
+            boundary_mask_np(lab, nb)[0 if conf_n == "bound" else 1]
+        ))
+        for mask_n, lab in (("label", label), ("pred", pred))
+        for conf_n in ("bound", "plain")
+    ]:
+        tp = np.diagonal(conf)
+        np.testing.assert_array_equal(st[name]["TP"], tp)
+        np.testing.assert_array_equal(st[name]["FN"], conf.sum(-1) - tp)
+        np.testing.assert_array_equal(st[name]["FP"], conf.sum(-2) - tp)
+
+    err_total = conf_total.sum() - np.diagonal(conf_total).sum()
+    assert st["err_total"] == err_total
+    for mask_n, lab in (("label", label), ("pred", pred)):
+        bound, plain, _ = boundary_mask_np(lab, nb)
+        eb = conf_of(bound)
+        ep = conf_of(plain)
+        err_b = eb.sum() - np.diagonal(eb).sum()
+        err_p = ep.sum() - np.diagonal(ep).sum()
+        assert st[f"err_bound_{mask_n}"] == err_b
+        assert st[f"err_plain_{mask_n}"] == err_p
+        assert st[f"pct_err_on_bound_{mask_n}"] == err_b / max(err_total, 1)
+    # errors on bound and plain partition the total error only up to points
+    # that are neither (invalid labels); here every point is valid
+    assert st["err_bound_label"] + st["err_plain_label"] == err_total
