@@ -17,6 +17,46 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def find_best_snapshot(exp_dir: str) -> Optional[dict]:
+    """Globally best snapshot across the runs of an experiment directory —
+    the reference's `get_best_val_snap` (tensorflow/config/utils.py:280-310),
+    which parses every run's `log_train.txt` for its best validation mIoU
+    and returns the winning snapshot. Here each run records its best in
+    `checkpoints/best.json` at save time; this scans the experiment dir's
+    `Log_*` runs (plus `exp_dir` itself if it is a run dir) and returns
+    {'path', 'step', 'mIoU', 'run'} for the highest recorded mIoU, or None.
+    Markers without a recorded mIoU rank lowest but still count (so a single
+    legacy run remains resolvable)."""
+    import json
+
+    exp_dir = os.path.abspath(exp_dir)
+    run_dirs = [exp_dir] + sorted(
+        os.path.join(exp_dir, d)
+        for d in (os.listdir(exp_dir) if os.path.isdir(exp_dir) else [])
+        if d.startswith("Log_") and os.path.isdir(os.path.join(exp_dir, d))
+    )
+    best = None
+    for run in run_dirs:
+        marker = os.path.join(run, "checkpoints", "best.json")
+        if not os.path.exists(marker):
+            continue
+        try:
+            with open(marker) as f:
+                info = json.load(f)
+        except (OSError, ValueError):
+            continue
+        path = os.path.join(run, "checkpoints", f"snap-{int(info['step'])}")
+        if not os.path.exists(path):
+            continue
+        miou = float(info.get("mIoU", float("-inf")))
+        if best is None or miou > best["mIoU"]:
+            best = {
+                "path": path, "step": int(info["step"]), "mIoU": miou,
+                "run": run,
+            }
+    return best
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
@@ -38,11 +78,18 @@ class CheckpointManager:
     def _path(self, tag) -> str:
         return os.path.join(self.directory, f"snap-{tag}")
 
-    def save(self, step: int, state: Any, best: bool = False):
+    def save(
+        self, step: int, state: Any, best: bool = False,
+        metric: Optional[float] = None,
+    ):
         """Save params/batch_stats/opt_state/step; optionally mark as best.
 
         Best is a marker file pointing at the step snapshot (repeatedly
-        force-overwriting one orbax path races its async commit at exit)."""
+        force-overwriting one orbax path races its async commit at exit).
+        `metric` (the validation mIoU behind `best`) is recorded in the
+        marker so cross-run discovery (`find_best_snapshot`) can rank runs —
+        the reference's log-parsing experiment database
+        (tensorflow/config/utils.py:208-310) distilled to one JSON file."""
         payload = {
             "step": state.step,
             "params": state.params,
@@ -56,8 +103,11 @@ class CheckpointManager:
         if best:
             import json
 
+            marker = {"step": int(step)}
+            if metric is not None:
+                marker["mIoU"] = float(metric)
             with open(os.path.join(self.directory, "best.json"), "w") as f:
-                json.dump({"step": int(step)}, f)
+                json.dump(marker, f)
         self._gc()
 
     def best_step(self) -> Optional[int]:

@@ -65,3 +65,44 @@ def test_gc_keeps_best(tmp_path):
     assert len(steps) <= 3
     assert ckpt.resolve("auto").endswith("snap-5")
     assert ckpt.resolve("best").endswith("snap-1")
+
+
+def test_find_best_snapshot_across_runs(tmp_path):
+    """Cross-run 'best' discovery (reference get_best_val_snap,
+    tensorflow/config/utils.py:280-310): the globally best snapshot across
+    Log_* runs of one experiment dir wins."""
+    import json
+
+    from contrastboundary_tpu.train.checkpoint import find_best_snapshot
+
+    exp = tmp_path / "exp"
+    for run, step, miou in [
+        ("Log_0101_000000", 100, 0.41),
+        ("Log_0102_000000", 250, 0.57),
+        ("Log_0103_000000", 80, 0.49),
+    ]:
+        ck = exp / run / "checkpoints"
+        (ck / f"snap-{step}").mkdir(parents=True)
+        (ck / "best.json").write_text(json.dumps({"step": step, "mIoU": miou}))
+
+    hit = find_best_snapshot(str(exp))
+    assert hit is not None
+    assert hit["step"] == 250 and hit["mIoU"] == 0.57
+    assert hit["path"].endswith("Log_0102_000000/checkpoints/snap-250")
+
+    # a marker whose snapshot dir is gone is skipped
+    import shutil
+
+    shutil.rmtree(exp / "Log_0102_000000" / "checkpoints" / "snap-250")
+    hit = find_best_snapshot(str(exp))
+    assert hit["step"] == 80 and hit["mIoU"] == 0.49
+
+    # legacy marker without mIoU still resolves when it is the only run
+    solo = tmp_path / "solo" / "Log_x"
+    (solo / "checkpoints" / "snap-7").mkdir(parents=True)
+    (solo / "checkpoints" / "best.json").write_text(json.dumps({"step": 7}))
+    hit = find_best_snapshot(str(tmp_path / "solo"))
+    assert hit["step"] == 7
+
+    # empty experiment dir → None
+    assert find_best_snapshot(str(tmp_path / "nothing")) is None
