@@ -64,6 +64,7 @@ class ConvNetSeg(nn.Module):
     multi_ftype: str = "latent"
     multi_branch_loss: str = ""
     multi_condition: str = ""
+    multi_sep_head: bool = False
     contrast_project: str = ""
     contrast_ftype: str = "latent"
     in_features: str = "1-rgb-Z"  # assembled from points+colors (config in_features_dim=5)
@@ -176,6 +177,7 @@ class ConvNetSeg(nn.Module):
                 ftype=self.multi_ftype, contrast_ftype=self.contrast_ftype,
                 branch_loss=self.multi_branch_loss,
                 condition=self.multi_condition,
+                sep_head=self.multi_sep_head,
                 dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:

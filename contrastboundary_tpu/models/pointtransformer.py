@@ -73,6 +73,17 @@ class MultiHead(nn.Module):
     `branch_loss` ('loss'/'lossSub') builds supervised per-stage logits
     (head.py:303-317); `condition` ('concat1', 'sumA', …) mixes the previous
     deeper stages' latents into each stage first (head.py:425-447).
+
+    `sep_head`: separate decoder branches per head. In the reference,
+    `config.sep_head` (auto-true when a multi head exists,
+    tensorflow/config/s3dis.py:142) suppresses the decoder's default
+    segmentation tower (seg_head.py:93-102) and the heads build per-stage
+    towers lazily — SHARED through the stage_list cache
+    (head.py:263-270 get_branch_head writes 'latent' into the stage dict
+    both heads read). The default-tower suppression is this module's
+    `use_multihead` path, and the shared towers are the default here too;
+    `sep_head=True` opts the contrast branch into its OWN per-stage towers
+    (no sharing with the main combine) — the full separate-branch split.
     """
 
     num_classes: int
@@ -84,6 +95,7 @@ class MultiHead(nn.Module):
     contrast_ftype: str = "latent"
     branch_loss: str = ""
     condition: str = ""
+    sep_head: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -127,8 +139,11 @@ class MultiHead(nn.Module):
                         mixed = jnp.maximum(mixed, f)
                 latents[i] = mixed
 
-        need_logits = bool(self.branch_loss) or any(
-            ft in ("logits", "probs") for ft in (self.ftype, self.contrast_ftype)
+        contrast_uses_shared = not self.sep_head
+        need_logits = bool(self.branch_loss) or self.ftype in (
+            "logits", "probs"
+        ) or (
+            contrast_uses_shared and self.contrast_ftype in ("logits", "probs")
         )
         stage_logits: list = [None] * nl
         if need_logits:
@@ -148,9 +163,37 @@ class MultiHead(nn.Module):
                 return jax.nn.softmax(stage_logits[i], axis=-1)
             raise ValueError(f"unknown ftype {ftype!r}")
 
+        # sep_head: the contrast branch gets its own decoder towers instead
+        # of sharing the main branch's latent/logits (see class docstring)
+        sep_latents: list = [None] * nl
+        sep_logits: list = [None] * nl
+        if self.sep_head:
+            for i in stages:
+                sep_latents[i] = MLPTower(
+                    (d,), dtype=self.dtype, name=f"sep_latent{i}"
+                )(up_feats[i], train)
+                if self.contrast_ftype in ("logits", "probs"):
+                    sep_logits[i] = nn.Dense(
+                        self.num_classes, dtype=jnp.float32,
+                        name=f"sep_cls{i}",
+                    )(sep_latents[i])
+
+        def select_contrast(i):
+            if not self.sep_head:
+                return select(self.contrast_ftype, i)
+            if self.contrast_ftype == "f_out":
+                return up_feats[i]
+            if self.contrast_ftype == "latent":
+                return sep_latents[i]
+            if self.contrast_ftype == "logits":
+                return sep_logits[i]
+            if self.contrast_ftype == "probs":
+                return jax.nn.softmax(sep_logits[i], axis=-1)
+            raise ValueError(f"unknown ftype {self.contrast_ftype!r}")
+
         contrast_feats: list = [None] * nl
         for i in stages:
-            feat = select(self.contrast_ftype, i)
+            feat = select_contrast(i)
             if self.project == "linear":
                 feat = nn.Dense(d, dtype=self.dtype, name=f"project{i}")(feat)
             elif self.project == "mlp":
@@ -218,6 +261,7 @@ class PointTransformerSeg(nn.Module):
     multi_ftype: str = "latent"
     multi_branch_loss: str = ""
     multi_condition: str = ""
+    multi_sep_head: bool = False
     contrast_project: str = ""
     contrast_ftype: str = "latent"
     # rematerialize transformer blocks in backward (the reference's
@@ -292,6 +336,7 @@ class PointTransformerSeg(nn.Module):
                 ftype=self.multi_ftype, contrast_ftype=self.contrast_ftype,
                 branch_loss=self.multi_branch_loss,
                 condition=self.multi_condition,
+                sep_head=self.multi_sep_head,
                 dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:

@@ -225,3 +225,87 @@ def test_eval_step_with_features(rng):
     for k, v in fdict.items():
         assert v.shape[:2] == (1, 64), k
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_dsl_margin_mask_power_tokens():
+    """Round-3: margin/mask/power grammar (reference config/head.py:157-165
+    feeding head.py:729-803)."""
+    from contrastboundary_tpu.config.dsl import parse_contrast_ops
+
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-mS-w.1")
+    assert c.separate_pos and c.margin == "S" and not c.mask_mode
+
+    c = parse_contrast_ops("contrast-Ua-nce-latent-label-l2-mS-mask-w.1")
+    assert c.separate_pos and c.mask_mode
+
+    c = parse_contrast_ops("contrast-Ua-nce-latent-label-l2-mask.1-w.1")
+    assert c.mask_mode  # float suffix parsed, numerically inert (reference)
+
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-p2-w.1")
+    assert c.power == 2.0
+
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-p.5-w.1")
+    assert c.power == 0.5
+
+    # numeric margins are stored but inert (head.py only keys on 'T'/'S')
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-m.1-w.1")
+    assert c.margin == ".1" and not c.separate_pos and c.temperature == 1.0
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-mI-w.1")
+    assert c.margin == "I"
+
+    # combined margin value with temperature
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-mST2-w.1")
+    assert c.separate_pos and c.temperature == 2.0
+
+    # 'max' / 'mask' / temperature tokens are not swallowed by the margin rule
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-max-l2-w.1")
+    assert c.label_infer == "max" and c.margin == ""
+    c = parse_contrast_ops("contrast-Ua-softnn-latent-label-l2-mT.5-w.1")
+    assert c.temperature == 0.5 and not c.separate_pos
+
+
+def test_sep_head_separate_towers_and_smoke(rng):
+    """sep_head (reference seg_head.py:93-102 + the stage_list tower cache,
+    head.py:263-270): separate contrast towers add parameters, and the
+    contrast features no longer alias the shared latents."""
+    feats, labels, pyr = _inputs(rng)
+
+    def build(sep):
+        model = PointTransformerSeg(
+            num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2),
+            share_planes=4, base_fdim=8, multi_sep_head=sep,
+        )
+        vs = model.init(jax.random.PRNGKey(0), feats, pyr, train=False)
+        return model, vs
+
+    model_shared, vs_shared = build(False)
+    model_sep, vs_sep = build(True)
+
+    count = lambda vs: sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(vs["params"])
+    )
+    # separate towers = strictly more parameters
+    assert count(vs_sep) > count(vs_shared)
+    mh = vs_sep["params"]["multihead"]
+    assert any(k.startswith("sep_latent") for k in mh), list(mh)
+    assert not any(
+        k.startswith("sep_latent") for k in vs_shared["params"]["multihead"]
+    )
+
+    # shared: contrast_feats IS the latent; sep: it differs
+    out_shared = model_shared.apply(vs_shared, feats, pyr, train=False)
+    out_sep = model_sep.apply(vs_sep, feats, pyr, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_shared.contrast_feats[0]),
+        np.asarray(out_shared.latents[0]),
+    )
+    assert not np.allclose(
+        np.asarray(out_sep.contrast_feats[0]), np.asarray(out_sep.latents[0])
+    )
+    assert np.isfinite(np.asarray(out_sep.logits)).all()
+
+
+def test_sep_head_dsl_token():
+    m = parse_multi_ops("multi-Ua-concat-latent-sep")
+    assert m["sep_head"] is True
+    assert parse_multi_ops("multi-Ua-concat-latent")["sep_head"] is False
