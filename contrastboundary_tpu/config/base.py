@@ -32,6 +32,10 @@ class DataConfig:
     ignore_label: int = -1
     crop_mode: str = "count"  # count (PT nearest-N) | radius (TF in_radius sphere)
     in_radius: float = 2.0
+    # train crop centers: 'random' (PT stack, util/data_util.py:45-90) |
+    # 'potential' (TF spatially-regular sampler, datasets/base.py:352-448 —
+    # the ConvNet recipe; see data/pipeline.py::PotentialSampler)
+    sampler: str = "random"
     # synthetic-only
     num_rooms: int = 16
     points_per_room: int = 120_000
@@ -201,6 +205,7 @@ class Config:
             multi_ftype=multi.get("ftype", "latent"),
             multi_branch_loss=multi.get("branch_loss", ""),
             multi_condition=multi.get("condition", ""),
+            multi_sep_head=multi.get("sep_head", False),
             contrast_project=(self.contrast.project if self.contrast else ""),
             contrast_ftype=(self.contrast.ftype if self.contrast else "latent"),
         )

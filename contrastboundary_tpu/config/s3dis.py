@@ -71,7 +71,8 @@ register_config(
     "s3dis_conv_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
           "n_points": 65536, "loop": 30, "num_classes": 13,
-          "crop_mode": "radius", "in_radius": 2.0},
+          "crop_mode": "radius", "in_radius": 2.0,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},
@@ -86,7 +87,8 @@ register_config(
     "s3dis_conv_cbl_kl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
           "n_points": 65536, "loop": 30, "num_classes": 13,
-          "crop_mode": "radius", "in_radius": 2.0},
+          "crop_mode": "radius", "in_radius": 2.0,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},
@@ -101,7 +103,8 @@ register_config(
     "s3dis_pospool_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
           "n_points": 65536, "loop": 30, "num_classes": 13,
-          "crop_mode": "radius", "in_radius": 2.0},
+          "crop_mode": "radius", "in_radius": 2.0,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "pospool",
            "agg_kwargs": (("position_embedding", "sin_cos"),
                           ("reduction", "mean")),
@@ -118,7 +121,8 @@ register_config(
     "s3dis_pseudogrid_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
           "n_points": 65536, "loop": 30, "num_classes": 13,
-          "crop_mode": "radius", "in_radius": 2.0},
+          "crop_mode": "radius", "in_radius": 2.0,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "pseudo_grid",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},
@@ -174,7 +178,8 @@ register_config("default", data={"dataset": "synthetic"})
 register_config(
     "scannet_conv_cbl",
     data={"dataset": "scannet", "voxel_size": 0.04, "voxel_max": 65536,
-          "n_points": 65536, "loop": 30, "num_classes": 20},
+          "n_points": 65536, "loop": 30, "num_classes": 20,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},
@@ -202,7 +207,8 @@ register_config(
     "semantic3d_conv_cbl",
     data={"dataset": "semantic3d", "voxel_size": 0.06, "voxel_max": 65536,
           "n_points": 65536, "loop": 30, "num_classes": 8, "crop_mode": "radius",
-          "in_radius": 3.0},
+          "in_radius": 3.0,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "base_radius": 0.15,
@@ -218,7 +224,8 @@ register_config(
     "npm3d_conv_cbl",
     data={"dataset": "npm3d", "voxel_size": 0.08, "voxel_max": 65536,
           "n_points": 65536, "loop": 30, "num_classes": 9, "crop_mode": "radius",
-          "in_radius": 4.0},
+          "in_radius": 4.0,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "base_radius": 0.2,
@@ -268,7 +275,8 @@ register_config(
     "s3dis_conv_cbl_paper",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 65536,
           "n_points": 65536, "loop": 30, "num_classes": 13,
-          "crop_mode": "radius", "in_radius": 2.0},
+          "crop_mode": "radius", "in_radius": 2.0,
+          "sampler": "potential"},
     model={"arch": "convnet", "base_fdim": 72, "aggregation": "adaptive_weight",
            "sampler": "voxel", "strides": (1, 4, 4, 4, 4),
            "contrast_nsample": (36, 24, 24, 24, 24)},

@@ -100,6 +100,92 @@ def prepare_crop(
     )
 
 
+class PotentialSampler:
+    """Potential-based spatially-regular TRAIN sampling — the reference's
+    `spatially_regular_gen` (tensorflow/datasets/base.py:297-448): pick the
+    cloud with the lowest minimum potential, then its min-potential point as
+    crop center (+ Gaussian noise of scale in_radius/10), radius-query the
+    crop, and bump the covered points' potentials with Tukey weights
+    (1 − d²/r²)² — guaranteeing every point of every room is eventually
+    trained on. The published ConvNet 69.4 was trained this way; the PT
+    stack (and this repo's default sampler='random') uses random centers.
+
+    Rooms are voxelized ONCE with a fixed per-room seed (the reference's
+    cached `input_0.040` subsampled clouds) — augmentation applies to the
+    crop afterwards, like the reference's in-graph augment of cropped
+    batches (datasets/base.py:549-640).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        voxel_size: float,
+        in_radius: float = 2.0,
+        cap: Optional[int] = None,
+        seed: int = 0,
+    ):
+        from scipy.spatial import cKDTree
+
+        self.in_radius = in_radius
+        self.cap = cap
+        self.rooms = []
+        init_rng = np.random.RandomState(seed)
+        for i in range(dataset.num_rooms):
+            coord, feat, label = dataset.room(i)
+            coord = np.asarray(coord, np.float64)
+            coord = coord - coord.min(0)
+            if voxel_size:
+                rng = np.random.default_rng((seed, 1234, i))
+                idx = voxelize(coord, voxel_size, rng, mode="train")
+                coord, feat, label = coord[idx], feat[idx], label[idx]
+            self.rooms.append(
+                {
+                    "coord": coord.astype(np.float32),
+                    "feat": np.asarray(feat, np.float32),
+                    "label": np.asarray(label),
+                    "tree": cKDTree(coord),
+                    "pot": init_rng.rand(len(coord)) * 1e-3,
+                }
+            )
+        self.min_pot = np.array([r["pot"].min() for r in self.rooms])
+
+    def min_potential(self) -> float:
+        return float(self.min_pot.min())
+
+    def next(self, rng: np.random.Generator):
+        """→ (room_index, crop_row_indices) into the voxelized room."""
+        ci = int(np.argmin(self.min_pot))
+        room = self.rooms[ci]
+        pi = int(np.argmin(room["pot"]))
+        center = room["coord"][pi] + rng.normal(
+            scale=self.in_radius / 10, size=3
+        )
+        idx = np.asarray(
+            room["tree"].query_ball_point(center, r=self.in_radius),
+            dtype=np.int64,
+        )
+        if len(idx) == 0:
+            idx = np.array([pi], np.int64)
+        d2 = np.sum((room["coord"][idx] - center) ** 2, axis=1)
+        tukey = np.square(1 - d2 / self.in_radius**2)
+        tukey[d2 > self.in_radius**2] = 0
+        room["pot"][idx] += tukey
+        self.min_pot[ci] = room["pot"].min()
+        if self.cap and len(idx) > self.cap:
+            # reference caps dense crops at batch_limit−1 by uniform choice
+            # (datasets/base.py:400-402)
+            idx = rng.choice(idx, size=int(self.cap) - 1, replace=False)
+        return ci, idx
+
+    def crop(self, ci: int, idx: np.ndarray):
+        room = self.rooms[ci]
+        return (
+            room["coord"][idx].astype(np.float64),
+            room["feat"][idx].copy(),
+            room["label"][idx].copy(),
+        )
+
+
 def pad_to_fixed_size(
     coord: np.ndarray,
     feat: np.ndarray,

@@ -197,18 +197,65 @@ def make_batch_iterator(
     num_shards: int = 1,
     crop_mode: str = "count",
     in_radius: float = 2.0,
+    sampler: str = "random",
+    potential_state=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-shape batches {points, features, labels, src_idx, room_idx}.
 
     Sample order is a seeded permutation of len(dataset); each host takes a
     strided shard (the per-host input-pipeline pattern replacing the
     reference's per-GPU `iter.get_next()` / DistributedSampler).
+
+    sampler='potential': crop centers come from the stateful
+    spatially-regular potential sampler (data/pipeline.py::PotentialSampler,
+    the reference ConvNet recipe's tensorflow/datasets/base.py:352-448) —
+    pass the same `potential_state` across epochs to keep coverage
+    accumulating; augmentation applies to the crop, then fixed-size pad.
     """
     order_rng = np.random.default_rng((seed, epoch))
     order = order_rng.permutation(len(dataset))[shard_index::num_shards]
     voxel_max = voxel_max or n_points
 
     n_batches = len(order) // batch_size
+    if sampler == "potential":
+        from .pipeline import PotentialSampler
+
+        if potential_state is None:
+            potential_state = PotentialSampler(
+                dataset, voxel_size, in_radius=in_radius, cap=voxel_max,
+                seed=seed + shard_index,
+            )
+        for b in range(n_batches):
+            pts, fts, lbs, srcs, rooms = [], [], [], [], []
+            for j in range(batch_size):
+                rng = np.random.default_rng(
+                    (seed, epoch, shard_index, b * batch_size + j)
+                )
+                ci, idx = potential_state.next(rng)
+                coord, feat, label = potential_state.crop(ci, idx)
+                if transform is not None:
+                    coord, feat, label = transform(rng, coord, feat, label)
+                perm = rng.permutation(len(coord))
+                coord, feat, label = coord[perm], feat[perm], label[perm]
+                coord = (coord - coord.min(0)).astype(np.float32)
+                feat = feat.astype(np.float32) / 255.0
+                label = label.astype(np.int32)
+                coord, feat, label, src = pad_to_fixed_size(
+                    coord, feat, label, n_points, rng
+                )
+                pts.append(coord)
+                fts.append(feat)
+                lbs.append(label)
+                srcs.append(src)
+                rooms.append(ci)
+            yield {
+                "points": np.stack(pts),
+                "features": np.stack(fts),
+                "labels": np.stack(lbs),
+                "src_idx": np.stack(srcs),
+                "room_idx": np.asarray(rooms, np.int32),
+            }
+        return
     for b in range(n_batches):
         pts, fts, lbs, srcs, rooms = [], [], [], [], []
         for j in range(batch_size):

@@ -157,3 +157,54 @@ def test_prepare_crop_radius_mode(rng):
     # all surviving points within a 2m sphere of some center → extent ≤ 4m
     assert (c.max(0) - c.min(0)).max() <= 4.0 + 1e-5
     assert len(c) <= 4000
+
+
+def test_potential_sampler_covers_every_point():
+    """Spatially-regular TRAIN sampling (reference datasets/base.py:352-448):
+    the Tukey-bumped potentials guarantee every voxelized room point is
+    covered within a bounded number of crops."""
+    from contrastboundary_tpu.data.pipeline import PotentialSampler
+
+    ds = SyntheticSceneDataset(num_rooms=3, points_per_room=6000)
+    ps = PotentialSampler(ds, voxel_size=0.1, in_radius=2.0, seed=0)
+    covered = [np.zeros(len(r["coord"]), bool) for r in ps.rooms]
+    rng = np.random.default_rng(0)
+    total = sum(len(r["coord"]) for r in ps.rooms)
+    # bound: rooms are ~9x8 m, crops are r=2 spheres — well under 200 crops
+    for step in range(200):
+        ci, idx = ps.next(rng)
+        covered[ci][idx] = True
+        if all(c.all() for c in covered):
+            break
+    assert all(c.all() for c in covered), (
+        f"uncovered after 200 crops: "
+        f"{[int((~c).sum()) for c in covered]} of {total}"
+    )
+    # potentials are monotone non-decreasing and every room got sampled
+    assert ps.min_potential() > 0
+    assert {ci for ci in range(3)} == {
+        i for i, c in enumerate(covered) if c.any()
+    }
+
+
+def test_potential_batch_iterator_shapes_and_state():
+    from contrastboundary_tpu.data.pipeline import PotentialSampler
+
+    ds = SyntheticSceneDataset(num_rooms=2, points_per_room=6000)
+    ps = PotentialSampler(ds, voxel_size=0.1, in_radius=2.0, cap=800, seed=0)
+    before = ps.min_potential()
+    batches = list(
+        make_batch_iterator(
+            ds, batch_size=2, n_points=512, voxel_size=0.1,
+            sampler="potential", potential_state=ps,
+        )
+    )
+    assert len(batches) == 1  # len(ds)=2 rooms x loop 1 // batch 2
+    b = batches[0]
+    assert b["points"].shape == (2, 512, 3)
+    assert b["labels"].shape == (2, 512)
+    assert b["features"].max() <= 1.0 + 1e-6  # /255 applied
+    # the persistent state advanced (coverage accumulates across epochs)
+    assert ps.min_potential() > before
+    # crops respect the cap before padding: src_idx rows < cap
+    assert b["src_idx"].max() < 800
