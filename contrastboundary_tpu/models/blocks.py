@@ -61,9 +61,9 @@ class PointTransformerLayer(nn.Module):
         # (ops/tile_gather.py) — no row gather, no backward scatter-add.
         kv = jnp.concatenate([k, v], axis=-1)
         if local is not None:
-            from ..ops.tile_gather import tile_window_gather
+            from ..ops.tile_gather import tile_window_gather_auto
 
-            kv_nb = tile_window_gather(kv, nb_idx, local[0], local[1])
+            kv_nb = tile_window_gather_auto(kv, nb_idx, local[0], local[1])
             shadow = local[0] * local[1]
         else:
             kv_nb = batch_gather(kv, nb_idx)

@@ -123,3 +123,82 @@ def _bwd(tile, width, local_idx, g_out):
 
 
 tile_window_gather.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas dispatch: build the one-hots in VMEM instead of HBM when the
+# deployment's Mosaic accepts the kernel (ops/pallas/tile_gather_pl.py).
+# The remote compile helper 500s on some construct combinations and is
+# intermittently flaky, so the kernel is probe-compiled EAGERLY once per
+# shape (with one retry) and the XLA path above is the fallback. Controlled
+# by CBL_PALLAS=auto|on|off; 'on' raises on probe failure.
+#
+# DEFAULT OFF — measured negative result (round 3, within-session whole-step
+# A/B at the flagship bf16 shape, scripts/ab_step_pallas.py): the Pallas
+# forward alone wins 1.2–1.9x per-op, but the backward kernel loses to
+# XLA's transposed-matmul path and the full train step regresses 151 ms ->
+# 198 ms (0.77x). The kernel is kept, tested (interpret parity + on-device
+# numerics exact for bf16), and dispatchable for future Mosaic toolchains.
+# ---------------------------------------------------------------------------
+_PALLAS_PROBED: dict = {}
+
+
+def _pallas_ok(tile: int, width: int, k: int, cl: int, dtype) -> bool:
+    import os
+    import warnings
+
+    mode = os.environ.get("CBL_PALLAS", "off")
+    if mode == "off":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    key = (tile, width, k, cl, jnp.dtype(dtype).name)
+    if key in _PALLAS_PROBED:
+        return _PALLAS_PROBED[key]
+
+    from .pallas.tile_gather_pl import tile_window_gather_pl
+
+    def attempt():
+        g = max(width, 2)
+        m = g * tile
+        x = jnp.zeros((1, m, cl), dtype)
+        li = jnp.zeros((1, m, k), jnp.int32)
+        jax.block_until_ready(tile_window_gather_pl(x, li, tile, width))
+        gr = jax.grad(
+            lambda xx: jnp.sum(
+                tile_window_gather_pl(xx, li, tile, width).astype(jnp.float32)
+            )
+        )(x)
+        jax.block_until_ready(gr)
+
+    ok = False
+    for _ in range(2):  # the helper is intermittently flaky — retry once
+        try:
+            attempt()
+            ok = True
+            break
+        except Exception as e:  # MosaicError reaches us as XlaRuntimeError
+            err = e
+    if not ok:
+        if mode == "on":
+            raise RuntimeError(
+                f"CBL_PALLAS=on but the Pallas gather failed to compile "
+                f"for shape {key}: {err}"
+            )
+        warnings.warn(
+            f"Pallas tile gather unavailable for shape {key} "
+            f"({type(err).__name__}); using the XLA one-hot path"
+        )
+    _PALLAS_PROBED[key] = ok
+    return ok
+
+
+def tile_window_gather_auto(x, local_idx, tile, width):
+    """tile_window_gather with automatic Pallas dispatch (see above)."""
+    k = local_idx.shape[-1]
+    cl = x.shape[-1]
+    if _pallas_ok(tile, width, k, cl, x.dtype):
+        from .pallas.tile_gather_pl import tile_window_gather_pl
+
+        return tile_window_gather_pl(x, local_idx, tile, width)
+    return tile_window_gather(x, local_idx, tile, width)
