@@ -29,6 +29,60 @@ from ..core.masking import EPS, INF, masked_mean
 
 _LOG_EPS = 1e-12
 
+# (shape key) -> bool: eager probe-compile results for the fused v2 kernel
+# (the remote Mosaic helper 500s intermittently; see ops/pallas/cbl_tile2.py)
+_CBL_PALLAS_PROBED: dict = {}
+
+
+def _cbl_pallas_ok(tile, width, window, k, c, ncls, temperature, dtype,
+                   strict: bool) -> bool:
+    import warnings
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    key = (tile, width, window, k, c, ncls, jnp.dtype(dtype).name)
+    if key in _CBL_PALLAS_PROBED:
+        return _CBL_PALLAS_PROBED[key]
+
+    from ..ops.pallas.cbl_tile2 import cbl_tile_softnn2
+
+    def attempt():
+        g = max(width, 2)
+        m = g * tile
+        f = jnp.zeros((1, m, c), dtype)
+        ls = jnp.zeros((1, m, ncls), jnp.float32)
+        li = jnp.zeros((1, m, k), jnp.int32)
+        out = cbl_tile_softnn2(f, ls, li, temperature, tile, width, window)
+        jax.block_until_ready(out)
+        gr = jax.grad(
+            lambda ff: jnp.sum(
+                cbl_tile_softnn2(ff, ls, li, temperature, tile, width,
+                                 window)[0]
+            )
+        )(f)
+        jax.block_until_ready(gr)
+
+    ok, err = False, None
+    # single attempt (no flakiness retry): a rejected compile at the
+    # flagship K=35 shape takes the remote helper ~25 min to refuse
+    try:
+        attempt()
+        ok = True
+    except Exception as e:
+        err = e
+    if not ok:
+        if strict:
+            raise RuntimeError(
+                f"ContrastConfig(impl='pallas') but the fused CBL kernel "
+                f"failed to compile for shape {key}: {err}"
+            )
+        warnings.warn(
+            f"fused CBL kernel unavailable for shape {key} "
+            f"({type(err).__name__}); using the XLA tile path"
+        )
+    _CBL_PALLAS_PROBED[key] = ok
+    return ok
+
 
 @dataclasses.dataclass(frozen=True)
 class ContrastConfig:
@@ -74,10 +128,14 @@ class ContrastConfig:
     mask_mode: bool = False
     # 'p<x>' power post-op on the per-point/per-term loss (head.py:800-803)
     power: float = 1.0
-    # 'pallas' → fused per-tile kernel for the flagship option point
+    # fused per-tile Pallas kernel for the flagship option point
     # (softnn · l2/norml2 · cnt, tile-local indices); other option
-    # combinations always use the XLA path (ops/pallas/cbl_tile.py)
-    impl: str = "xla"  # xla | pallas
+    # combinations always use the XLA path.
+    # 'auto' probe-compiles the v2 kernel (ops/pallas/cbl_tile2.py) once per
+    # shape on TPU and falls back to XLA if the deployment's remote Mosaic
+    # rejects it; 'pallas' raises instead of falling back; 'xla' forces the
+    # XLA tile path.
+    impl: str = "xla"  # xla | auto | pallas
 
 
 def subscene_labels(
@@ -276,7 +334,7 @@ def cbl_stage_loss(
 
     if (
         local is not None
-        and cfg.impl == "pallas"
+        and cfg.impl in ("auto", "pallas")
         and cfg.contrast == "softnn"
         and cfg.dist in ("l2", "norml2")  # norml2 pre-normalized above
         and cfg.pos == "cnt"
@@ -287,19 +345,28 @@ def cbl_stage_loss(
         and not cfg.mask_mode
         and cfg.power == 1.0
     ):
-        # fused per-tile kernel: the whole stage loss (gather matmuls,
+        # fused per-tile kernel v2: the whole stage loss (gather matmuls,
         # posmask, distances, softnn, masked reduction + analytic backward)
-        # stays in VMEM — no [B, M, K, C] HBM tensors (ops/pallas/cbl_tile.py)
-        from ..ops.pallas.cbl_tile import cbl_tile_softnn
+        # stays in VMEM — no [B, M, K, C] HBM tensors
+        # (ops/pallas/cbl_tile2.py; probe-compiled w/ XLA fallback)
+        tile, width = local
+        window = (width - 1) // 2
+        k = contrast_idx.shape[-1]
+        c = features.shape[-1]
+        ncls = label_soft.shape[-1]
+        if _cbl_pallas_ok(
+            tile, width, window, k, c, ncls, float(cfg.temperature),
+            features.dtype, strict=cfg.impl == "pallas",
+        ):
+            from ..ops.pallas.cbl_tile2 import cbl_tile_softnn2
 
-        ls, ms = cbl_tile_softnn(
-            fused, contrast_idx, label_soft.shape[-1],
-            float(cfg.temperature), local[0], local[1], (local[1] - 1) // 2,
-            jax.default_backend() == "cpu",  # interpret on the CPU mesh
-        )
-        return (
-            jnp.sum(ls) / jnp.maximum(jnp.sum(ms), 1.0) * cfg.weight
-        )
+            ls, ms = cbl_tile_softnn2(
+                features, label_soft.astype(jnp.float32), contrast_idx,
+                float(cfg.temperature), tile, width, window,
+            )
+            return (
+                jnp.sum(ls) / jnp.maximum(jnp.sum(ms), 1.0) * cfg.weight
+            )
 
     samp = (
         jnp.concatenate(idx_parts, axis=-1)
@@ -308,9 +375,9 @@ def cbl_stage_loss(
     )
     valid = samp < shadow
     if local is not None:
-        from ..ops.tile_gather import tile_window_gather
+        from ..ops.tile_gather import tile_window_gather_auto
 
-        nb = tile_window_gather(fused, samp, local[0], local[1])
+        nb = tile_window_gather_auto(fused, samp, local[0], local[1])
     else:
         nb = batch_gather(fused, jnp.where(valid, samp, 0))
     if rand_idx is not None:

@@ -51,35 +51,60 @@ def test_pallas_cbl_matches_xla_value_and_grad():
 
 
 def test_pallas_dispatch_in_stage_loss():
-    """cbl_stage_loss(impl='pallas') routes the flagship option point through
-    the kernel and matches the XLA path; non-flagship options fall back."""
+    """cbl_stage_loss(impl='auto'/'pallas') routes the flagship option point
+    through the v2 kernel when the probe says the toolchain accepts it, and
+    matches the XLA path; non-flagship options fall back."""
+    import contrastboundary_tpu.losses.contrast as cl
+    import contrastboundary_tpu.ops.pallas.cbl_tile2 as ct2
+
     feats, label_soft, li = _data(1)
     xla = cbl_stage_loss(
         feats, li, label_soft, ContrastConfig(impl="xla"), local=(TILE, WIDTH)
     )
-    import contrastboundary_tpu.ops.pallas.cbl_tile as ct
+    orig_ok = cl._cbl_pallas_ok
+    orig_kern = ct2.cbl_tile_softnn2
 
-    orig = ct.cbl_tile_softnn
-
-    def spy(*a, **kw):
+    def spy(f, ls, lidx, *a, **kw):
         spy.called = True
-        return orig(*a[:7], True)  # force interpret on CPU
+        return orig_kern(f, ls, lidx, *a[:4], True)  # force interpret on CPU
 
     spy.called = False
-    ct.cbl_tile_softnn = spy
+    cl._cbl_pallas_ok = lambda *a, **kw: True  # pretend the probe passed
+    ct2.cbl_tile_softnn2 = spy
     try:
         pal = cbl_stage_loss(
-            feats, li, label_soft, ContrastConfig(impl="pallas"),
+            feats, li, label_soft, ContrastConfig(impl="auto"),
             local=(TILE, WIDTH),
         )
         assert spy.called
         # kl posmask is outside the kernel's scope → must NOT call it
         spy.called = False
         _ = cbl_stage_loss(
-            feats, li, label_soft, ContrastConfig(impl="pallas", pos="kl"),
+            feats, li, label_soft, ContrastConfig(impl="auto", pos="kl"),
             local=(TILE, WIDTH),
         )
         assert not spy.called
     finally:
-        ct.cbl_tile_softnn = orig
+        cl._cbl_pallas_ok = orig_ok
+        ct2.cbl_tile_softnn2 = orig_kern
     np.testing.assert_allclose(float(xla), float(pal), rtol=1e-5)
+
+
+def test_pallas_probe_failure_falls_back_on_auto():
+    """impl='auto' with a failing probe must fall back to the XLA path."""
+    import contrastboundary_tpu.losses.contrast as cl
+
+    feats, label_soft, li = _data(2)
+    orig = cl._cbl_pallas_ok
+    cl._cbl_pallas_ok = lambda *a, **kw: False
+    try:
+        out = cbl_stage_loss(
+            feats, li, label_soft, ContrastConfig(impl="auto"),
+            local=(TILE, WIDTH),
+        )
+    finally:
+        cl._cbl_pallas_ok = orig
+    ref = cbl_stage_loss(
+        feats, li, label_soft, ContrastConfig(impl="xla"), local=(TILE, WIDTH)
+    )
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
