@@ -1,27 +1,33 @@
-"""Fused Pallas CBL stage loss, v2 — streaming (online-softmax) form.
+"""Fused Pallas CBL stage loss, v2 — k-chunked streaming (online-softmax).
 
-v1 (ops/pallas/cbl_tile.py) was interpret-correct but rejected by the remote
-Mosaic compile helper with an opaque HTTP 500. Round-3 bisection
-(scripts/mosaic_probe*.py) plus one surfaced terminal-side error finally
-explained it: the 500 is a **scoped-VMEM OOM** — an unrolled K-loop that
-keeps per-k tensors (one-hots, diffs) live allocates ~27 MB against the
-16 MB VMEM stack limit at K=35. The fix is algorithmic, not syntactic:
+History of the port to this deployment's remote Mosaic compile helper:
+v1 (ops/pallas/cbl_tile.py) was interpret-correct but rejected with an
+opaque HTTP 500. Round-3 bisection (scripts/mosaic_probe*.py) plus one
+surfaced terminal-side error explained it: the 500 is a **scoped-VMEM
+OOM** — an unrolled K-loop that keeps per-k tensors (one-hots, diffs)
+live needs ~27 MB against the 16 MB VMEM stack limit at the flagship
+K=35. A fully-streamed rewrite (online softmax, [T,1] carries) still
+failed: the helper chews ~25 minutes on the K=35 unrolled program and
+then refuses. This version therefore also CHUNKS the neighbor loop over a
+third grid dimension, so the compiled body only ever contains `k_chunk`
+(default 8) neighbor iterations:
 
-  - ONLINE softmax accumulation (flash-attention style): one pass over the
-    K neighbors carrying only [T,1] running state (max, rescaled pos/all
-    exp sums, counts) — nothing per-k survives the loop iteration;
-  - per-ROW label metadata precomputed in XLA ([B,M,8]: argmax-as-f32 +
-    validity) so the neighbor's class arrives through the same one-hot MXU
-    matmul as its features (selection of small ints is exact, and the
-    kernel never lane-slices label columns);
-  - the backward recomputes the streaming forward (pass 1: final max +
-    sums), then a second streaming pass emits analytic feature gradients,
-    accumulating only dfq [T,C] and the window grad [W,C].
+  grid = (B, G, KC);   KC = ceil(K / k_chunk)
+  - the (loss|mask / stats) output block is REVISITED across kc and used
+    as the cross-chunk accumulator (read-modify-write, the standard
+    Mosaic k-loop matmul pattern): lanes carry [running-max, rescaled
+    Σ pos exps, Σ exps, pos count, valid count];
+  - @pl.when(kc==0) initializes, @pl.when(kc==KC-1) finalizes in place
+    (loss·mask | mask for the forward; raw stats for the backward's
+    first pass);
+  - the backward runs two chunked passes: pass 1 re-derives the final
+    stats, pass 2 accumulates analytic feature gradients directly into
+    the revisited per-slot window-grad blocks.
 
-Constructs kept inside the boundary the helper accepts: per-k one-hot
-matmuls, [T,1] elementwise accumulators, concat-of-cols full-block stores,
-SMEM scalars, 5-D output blocks, clipped window BlockSpecs. bf16 >2-D
-stores are avoided (outputs are f32).
+Per-row label metadata (argmax-as-f32 + validity, [B,M,8]) is precomputed
+in XLA so the neighbor's class arrives through the same one-hot MXU
+matmul as its features — the kernel never slices label columns, and
+one-hot selection of small ints is exact.
 
 Scope (dispatched from losses/contrast.py): contrast='softnn', dist='l2'
 or pre-normalized 'norml2', pos='cnt', no extra samplers/margins — the
@@ -29,9 +35,10 @@ flagship option point (pytorch/model/heads.py:145-165, 185-246). Matches
 losses/contrast.py::cbl_stage_loss masked-mean semantics: the caller
 divides Σ loss·mask by Σ mask.
 
-HBM traffic per stage: reads M·(C+8) window rows + M·K indices, writes M·8
-(fwd) / window-grad blocks (bwd) — no [B, M, K, C] tensor ever exists,
-unlike the XLA tile path whose one-hot matmul operands round-trip GBs.
+HBM traffic per stage: reads M·(C+8) window rows + M·K indices, writes
+M·8 (fwd) / window-grad blocks (bwd) — no [B, M, K, C] tensor ever
+exists, unlike the XLA tile path whose one-hot matmul operands
+round-trip GBs per step.
 """
 from __future__ import annotations
 
@@ -48,6 +55,7 @@ from ...core.masking import EPS
 
 _LOG_EPS = 1e-12
 _NEG = -1e9
+K_CHUNK = 8  # neighbors per compiled body — keeps the helper within limits
 
 
 def _starts_np(num_tiles: int, width: int, window: int) -> np.ndarray:
@@ -61,7 +69,7 @@ def _window_specs(width, window, num_tiles, tile, lanes):
             pl.BlockSpec(
                 (1, tile, lanes),
                 functools.partial(
-                    lambda bb, gg, j=0: (
+                    lambda bb, gg, kc, j=0: (
                         bb,
                         jnp.clip(gg - window, 0, num_tiles - width) + j,
                         0,
@@ -74,9 +82,26 @@ def _window_specs(width, window, num_tiles, tile, lanes):
     return specs
 
 
+def _common_specs(width, window, g, tile, c, k_chunk):
+    return (
+        _window_specs(width, window, g, tile, c)
+        + _window_specs(width, window, g, tile, 8)
+        + [
+            pl.BlockSpec((1, tile, c), lambda bb, gg, kc: (bb, gg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda bb, gg, kc: (bb, gg, 0),
+                         memory_space=pltpu.VMEM),
+            # the li block IS chunked over kc
+            pl.BlockSpec((1, tile, k_chunk),
+                         lambda bb, gg, kc: (bb, gg, kc),
+                         memory_space=pltpu.VMEM),
+        ]
+    )
+
+
 def _neighbor_k(li, kk, feat_win, meta_win, q_feat, iota_w):
-    """One neighbor via one-hot MXU matmuls → ([T,1] d, v, pos-raw ingredients,
-    [T,C] diff). Nothing here outlives the caller's loop iteration."""
+    """One neighbor via one-hot MXU matmuls → ([T,1] d, v, amax, [T,C] diff).
+    Nothing here outlives the caller's loop iteration."""
     prec = (
         None if feat_win.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
     )
@@ -100,21 +125,20 @@ def _neighbor_k(li, kk, feat_win, meta_win, q_feat, iota_w):
     return d_k, v_k, amax_k, diff_k
 
 
-def _stream_stats(feat_win, meta_win, q_feat, q_meta, li, temperature):
-    """Streaming pass: final max `m_run`, rescaled Σ pos / Σ all exps, pos /
-    valid counts — only [T,1] carries, constant VMEM in K."""
+def _chunk_update(state, li, feat_win, meta_win, q_feat, q_meta, temperature,
+                  k_chunk):
+    """Online-softmax update of the [T,8] accumulator state over one chunk."""
     tile = q_feat.shape[0]
-    k = li.shape[1]
     w_sz = feat_win.shape[0]
     iota_w = lax.broadcasted_iota(jnp.int32, (tile, w_sz), 1)
     amax_q = q_meta[:, 0:1]
 
-    m_run = jnp.full((tile, 1), _NEG, jnp.float32)
-    p = jnp.zeros((tile, 1), jnp.float32)
-    n = jnp.zeros((tile, 1), jnp.float32)
-    pos_cnt = jnp.zeros((tile, 1), jnp.float32)
-    valid_cnt = jnp.zeros((tile, 1), jnp.float32)
-    for kk in range(k):
+    m_run = state[:, 0:1]
+    p = state[:, 1:2]
+    n = state[:, 2:3]
+    pos_cnt = state[:, 3:4]
+    valid_cnt = state[:, 4:5]
+    for kk in range(k_chunk):
         d_k, v_k, amax_k, _ = _neighbor_k(
             li, kk, feat_win, meta_win, q_feat, iota_w
         )
@@ -130,10 +154,25 @@ def _stream_stats(feat_win, meta_win, q_feat, q_meta, li, temperature):
         m_run = m_new
         pos_cnt = pos_cnt + pos_k
         valid_cnt = valid_cnt + v_k
-    return m_run, p, n, pos_cnt, valid_cnt
+    pad = jnp.zeros((tile, 3), jnp.float32)
+    return jnp.concatenate([m_run, p, n, pos_cnt, valid_cnt, pad], axis=1)
 
 
-def _loss_mask(p, n, pos_cnt, valid_cnt, center_valid):
+def _init_state(tile):
+    return jnp.concatenate(
+        [
+            jnp.full((tile, 1), _NEG, jnp.float32),
+            jnp.zeros((tile, 7), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _loss_mask_from_state(state, center_valid):
+    p = state[:, 1:2]
+    n = state[:, 2:3]
+    pos_cnt = state[:, 3:4]
+    valid_cnt = state[:, 4:5]
     n_safe = jnp.maximum(n, EPS)
     ratio = p / n_safe
     loss = -jnp.log(ratio + EPS)
@@ -143,7 +182,11 @@ def _loss_mask(p, n, pos_cnt, valid_cnt, center_valid):
     return loss, mask, ratio, n_safe
 
 
-def _fwd_kernel(*refs, width, temperature, tile):
+def _stats_kernel(*refs, width, temperature, tile, k_chunk, num_chunks,
+                  emit_loss):
+    """Chunked streaming stats; the output block is the accumulator.
+    emit_loss: finalize lanes to (loss·mask | mask) at the last chunk
+    (forward); else leave the raw stats (backward pass 1)."""
     feat_wins = refs[:width]
     meta_wins = refs[width:2 * width]
     q_feat = refs[2 * width][0]
@@ -151,30 +194,51 @@ def _fwd_kernel(*refs, width, temperature, tile):
     li = refs[2 * width + 2][0]
     o_ref = refs[2 * width + 3]
 
+    kc = pl.program_id(2)
+
+    @pl.when(kc == 0)
+    def _():
+        o_ref[0] = _init_state(tile)
+
     feat_win = jnp.concatenate([r[0] for r in feat_wins], axis=0)
     meta_win = jnp.concatenate([r[0] for r in meta_wins], axis=0)
-    m_run, p, n, pos_cnt, valid_cnt = _stream_stats(
-        feat_win, meta_win, q_feat, q_meta, li, temperature
+    state = _chunk_update(
+        o_ref[0], li, feat_win, meta_win, q_feat, q_meta, temperature,
+        k_chunk,
     )
-    loss, mask, _, _ = _loss_mask(
-        p, n, pos_cnt, valid_cnt, q_meta[:, 1:2]
-    )
-    pad = jnp.zeros((tile, 6), jnp.float32)
-    o_ref[0] = jnp.concatenate([loss * mask, mask, pad], axis=1)
+    o_ref[0] = state
+
+    if emit_loss:
+        @pl.when(kc == num_chunks - 1)
+        def _():
+            loss, mask, _, _ = _loss_mask_from_state(
+                state, q_meta[:, 1:2]
+            )
+            pad = jnp.zeros((tile, 6), jnp.float32)
+            o_ref[0] = jnp.concatenate([loss * mask, mask, pad], axis=1)
 
 
-def _bwd_kernel(*refs, width, temperature, tile, window, num_tiles):
+def _grad_kernel(*refs, width, temperature, tile, k_chunk, window,
+                 num_tiles):
+    """Chunked backward pass 2: per-chunk analytic feature gradients
+    accumulated into the revisited per-slot window-grad block."""
     feat_wins = refs[:width]
     meta_wins = refs[width:2 * width]
     q_feat_ref = refs[2 * width]
     q_meta_ref = refs[2 * width + 1]
     li_ref = refs[2 * width + 2]
-    gl_ref = refs[2 * width + 3]  # SMEM (1, B): cotangent of loss_sum[b]
-    dwin_ref = refs[2 * width + 4]
+    stats_ref = refs[2 * width + 3]  # (1, T, 8) final stats block
+    gl_ref = refs[2 * width + 4]     # SMEM (1, B)
+    dwin_ref = refs[2 * width + 5]
 
     bb = pl.program_id(0)
     g = pl.program_id(1)
+    kc = pl.program_id(2)
     slot = g - jnp.clip(g - window, 0, num_tiles - width)
+
+    @pl.when(kc == 0)
+    def _():
+        dwin_ref[0] = jnp.zeros_like(dwin_ref[0])
 
     feat_win = jnp.concatenate([r[0] for r in feat_wins], axis=0)
     meta_win = jnp.concatenate([r[0] for r in meta_wins], axis=0)
@@ -183,28 +247,22 @@ def _bwd_kernel(*refs, width, temperature, tile, window, num_tiles):
     li = li_ref[0]
     w_sz = feat_win.shape[0]
     c = q_feat.shape[1]
-    k = li.shape[1]
     iota_w = lax.broadcasted_iota(jnp.int32, (tile, w_sz), 1)
     amax_q = q_meta[:, 0:1]
 
-    # pass 1: streaming stats (the max reference is stop-gradient, like the
-    # XLA path's stabilization)
-    m_run, p, n, pos_cnt, valid_cnt = _stream_stats(
-        feat_win, meta_win, q_feat, q_meta, li, temperature
-    )
-    _, mask, ratio, n_safe = _loss_mask(
-        p, n, pos_cnt, valid_cnt, q_meta[:, 1:2]
-    )
+    state = stats_ref[0]
+    m_run = state[:, 0:1]
+    _, mask, ratio, n_safe = _loss_mask_from_state(state, q_meta[:, 1:2])
+    p = state[:, 1:2]
     gl = gl_ref[0, bb]
 
     inv = -1.0 / (ratio + EPS)  # dL/dratio
     dP = inv / n_safe
     dN = -inv * p / (n_safe * n_safe)
 
-    # pass 2: streaming gradients — accumulate dfq [T,C] and window grad [W,C]
     dfq = jnp.zeros((tile, c), jnp.float32)
     acc = jnp.zeros((w_sz, c), jnp.float32)
-    for kk in range(k):
+    for kk in range(k_chunk):
         d_k, v_k, amax_k, diff_k = _neighbor_k(
             li, kk, feat_win, meta_win, q_feat, iota_w
         )
@@ -216,17 +274,17 @@ def _bwd_kernel(*refs, width, temperature, tile, window, num_tiles):
         gk = (dd / d_k) * diff_k  # [T, C]
         dfq = dfq + gk
         oh = (li[:, kk][:, None] == iota_w).astype(jnp.float32)
-        # f32 operands either way (oh/gk); HIGHEST keeps the one-hot
-        # scatter-transpose exact
+        # f32 operands; HIGHEST keeps the one-hot scatter-transpose exact
         acc = acc + lax.dot_general(
             oh, -gk, (((0,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
+    sel_dfq = dfq  # the query tile's own rows live at window slot `slot`
     for j in range(width):
         part = acc[j * tile:(j + 1) * tile, :]
         sel = (jnp.int32(j) == slot).astype(jnp.float32)
-        dwin_ref[0, 0, j] = part + sel * dfq
+        dwin_ref[0, 0, j] = dwin_ref[0, 0, j] + part + sel * sel_dfq
 
 
 def _row_meta(label_soft):
@@ -239,41 +297,44 @@ def _row_meta(label_soft):
     return jnp.concatenate([amax[..., None], valid[..., None], pad], axis=-1)
 
 
-def _common_specs(width, window, g, tile, c, k):
-    return (
-        _window_specs(width, window, g, tile, c)
-        + _window_specs(width, window, g, tile, 8)
-        + [
-            pl.BlockSpec((1, tile, c), lambda bb, gg: (bb, gg, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 8), lambda bb, gg: (bb, gg, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bb, gg: (bb, gg, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-    )
+def _pad_li(li, k_chunk, w_sz):
+    k = li.shape[-1]
+    rem = (-k) % k_chunk
+    if rem:
+        li = jnp.concatenate(
+            [li, jnp.full(li.shape[:-1] + (rem,), w_sz, li.dtype)], axis=-1
+        )
+    return li, (k + rem) // k_chunk
 
 
-def _fwd_call(features, meta, li, temperature, tile, width, window,
-              interpret):
+def _stats_call(features, meta, li, temperature, tile, width, window,
+                interpret, emit_loss):
     b, m, c = features.shape
     g = m // tile
+    li_p, kc = _pad_li(li, K_CHUNK, width * tile)
     kern = functools.partial(
-        _fwd_kernel, width=width, temperature=temperature, tile=tile
+        _stats_kernel, width=width, temperature=temperature, tile=tile,
+        k_chunk=K_CHUNK, num_chunks=kc, emit_loss=emit_loss,
     )
     meta_f = meta if features.dtype != jnp.bfloat16 else meta.astype(
         jnp.bfloat16
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
-        grid=(b, g),
-        in_specs=_common_specs(width, window, g, tile, c, li.shape[-1]),
-        out_specs=pl.BlockSpec((1, tile, 8), lambda bb, gg: (bb, gg, 0),
+        grid=(b, g, kc),
+        in_specs=_common_specs(width, window, g, tile, c, K_CHUNK),
+        out_specs=pl.BlockSpec((1, tile, 8), lambda bb, gg, kcc: (bb, gg, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, m, 8), jnp.float32),
         interpret=interpret,
     )(*([features] * width + [meta_f] * width
-        + [features, meta_f, li]))
+        + [features, meta_f, li_p]))
+
+
+def _fwd_call(features, meta, li, temperature, tile, width, window,
+              interpret):
+    out = _stats_call(features, meta, li, temperature, tile, width, window,
+                      interpret, emit_loss=True)
     loss_sum = jnp.sum(out[:, :, 0], axis=-1)
     mask_sum = jnp.sum(out[:, :, 1], axis=-1)
     return loss_sum, mask_sum
@@ -283,29 +344,35 @@ def _bwd_call(features, meta, li, g_loss, temperature, tile, width, window,
               interpret):
     b, m, c = features.shape
     g = m // tile
+    stats = _stats_call(features, meta, li, temperature, tile, width,
+                        window, interpret, emit_loss=False)
+    li_p, kc = _pad_li(li, K_CHUNK, width * tile)
     kern = functools.partial(
-        _bwd_kernel, width=width, temperature=temperature, tile=tile,
-        window=window, num_tiles=g,
+        _grad_kernel, width=width, temperature=temperature, tile=tile,
+        k_chunk=K_CHUNK, window=window, num_tiles=g,
     )
     gl = g_loss.astype(jnp.float32).reshape(1, b)
     meta_f = meta if features.dtype != jnp.bfloat16 else meta.astype(
         jnp.bfloat16
     )
-    in_specs = _common_specs(width, window, g, tile, c, li.shape[-1]) + [
+    in_specs = _common_specs(width, window, g, tile, c, K_CHUNK) + [
+        pl.BlockSpec((1, tile, 8), lambda bb, gg, kcc: (bb, gg, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # (1, B) gl row
     ]
     dwin = pl.pallas_call(
         kern,
-        grid=(b, g),
+        grid=(b, g, kc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, width, tile, c), lambda bb, gg: (bb, gg, 0, 0, 0),
+            (1, 1, width, tile, c),
+            lambda bb, gg, kcc: (bb, gg, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, g, width, tile, c), jnp.float32),
         interpret=interpret,
     )(*([features] * width + [meta_f] * width
-        + [features, meta_f, li, gl]))
+        + [features, meta_f, li_p, stats, gl]))
 
     starts = _starts_np(g, width, window)
     dx = jnp.zeros((b, g, tile, c), jnp.float32)
@@ -317,7 +384,7 @@ def _bwd_call(features, meta, li, g_loss, temperature, tile, width, window,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def cbl_tile_softnn2(features, label_soft, li, temperature, tile, width,
                      window, interpret=False):
-    """Fused flagship CBL stage loss (softnn · l2 · cnt), v2 streaming.
+    """Fused flagship CBL stage loss (softnn · l2 · cnt), v2 k-chunked.
 
     features   [B, M, C] SORTED rows (pre-normalized for norml2);
     label_soft [B, M, ncls] sub-scene soft labels (no gradient);

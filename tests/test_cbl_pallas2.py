@@ -93,3 +93,30 @@ def test_v2_all_shadow_no_nan():
     assert val == 0.0  # no masked points -> 0/max(0,1)
     g = jax.grad(lambda f: _pal_loss(f, label_soft, li))(feats)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_v2_multi_chunk_accumulation(rng):
+    """K > K_CHUNK exercises the chunked-grid revisited-output accumulator
+    (online softmax across chunks must match the one-shot XLA value)."""
+    k = 12  # > K_CHUNK=8 -> 2 chunks (second padded with shadow)
+    feats = jnp.asarray(rng.randn(B, M, C).astype(np.float32))
+    lab = rng.randint(0, NCLS, (B, M))
+    label_soft = jnp.asarray(np.eye(NCLS, dtype=np.float32)[lab])
+    li = jnp.asarray(rng.randint(0, W + 1, (B, M, k)).astype(np.int32))
+    cfg = ContrastConfig()
+
+    def ref_loss(f):
+        return cbl_stage_loss(f, li, label_soft, cfg, local=(TILE, WIDTH))
+
+    def pal_loss(f):
+        ls, ms = cbl_tile_softnn2(
+            f, label_soft, li, 1.0, TILE, WIDTH, WINDOW, True
+        )
+        return jnp.sum(ls) / jnp.maximum(jnp.sum(ms), 1.0) * cfg.weight
+
+    np.testing.assert_allclose(
+        float(ref_loss(feats)), float(pal_loss(feats)), rtol=1e-5
+    )
+    gr = jax.grad(ref_loss)(feats)
+    gp = jax.grad(pal_loss)(feats)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gp), atol=1e-6)
