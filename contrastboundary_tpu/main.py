@@ -433,6 +433,17 @@ def run_enumerate_eval(cfg, model, step_cfg, state, mesh, logger, extra_ops=""):
         br = bev.results()
         m["boundary"] = br
         logger.info(f"enumerate boundary: B-IoU {br['B-IoU']:.4f}")
+        if "stat" in extra_ops:
+            st = bev.stat()
+            m["stat"] = st
+            for mask_n in ("label", "pred"):
+                logger.info(
+                    f"  stat[{mask_n}]: "
+                    f"{st[f'pct_err_on_bound_{mask_n}']*100:5.1f}% of error "
+                    f"on bound ({st[f'err_bound_{mask_n}']} bound / "
+                    f"{st[f'err_plain_{mask_n}']} plain / "
+                    f"{st['err_total']} total)"
+                )
     return m
 
 
