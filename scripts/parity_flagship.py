@@ -58,6 +58,14 @@ def build(arm: str, seed: int):
             k_contrast=(36, 24, 24, 24, 24), with_subscene=True,
             layout="sorted", sampler="strided",
         )
+    elif arm == "fast_w2":
+        # fast path with doubled tile windows (self + contrast): the recall
+        # lever for the flagship-scale deficit (ABLATION round 3)
+        spec = PyramidSpec(
+            k_contrast=(36, 24, 24, 24, 24), with_subscene=True,
+            layout="sorted", sampler="strided",
+            self_window=2, contrast_window=2,
+        )
     else:
         spec = PyramidSpec(
             k_contrast=(36, 24, 24, 24, 24), with_subscene=True,
