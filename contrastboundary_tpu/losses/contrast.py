@@ -354,14 +354,20 @@ def cbl_stage_loss(
         k = contrast_idx.shape[-1]
         c = features.shape[-1]
         ncls = label_soft.shape[-1]
+        # the kernel runs in f32 regardless of the model dtype: CBL loss
+        # math is f32-pinned on every path, and this deployment's Mosaic
+        # accepts the f32 kernel but 500s on the bf16 variant (probed on
+        # device, round 3) — so bf16 models cast here, which also keys the
+        # probe cache on one dtype.
         if _cbl_pallas_ok(
             tile, width, window, k, c, ncls, float(cfg.temperature),
-            features.dtype, strict=cfg.impl == "pallas",
+            jnp.float32, strict=cfg.impl == "pallas",
         ):
             from ..ops.pallas.cbl_tile2 import cbl_tile_softnn2
 
             ls, ms = cbl_tile_softnn2(
-                features, label_soft.astype(jnp.float32), contrast_idx,
+                features.astype(jnp.float32),
+                label_soft.astype(jnp.float32), contrast_idx,
                 float(cfg.temperature), tile, width, window,
             )
             return (

@@ -91,9 +91,13 @@ def _common_specs(width, window, g, tile, c, k_chunk):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, 8), lambda bb, gg, kc: (bb, gg, 0),
                          memory_space=pltpu.VMEM),
-            # the li block IS chunked over kc
-            pl.BlockSpec((1, tile, k_chunk),
-                         lambda bb, gg, kc: (bb, gg, kc),
+            # the li block IS chunked over kc. li arrives as 4-D
+            # [B, KC, M, K_CHUNK]: Mosaic requires the last-two BLOCK dims
+            # to divide (8, 128) or equal the array dims — (tile, K_CHUNK)
+            # with K_CHUNK == the full last axis satisfies it, so the
+            # chunk axis must sit BEFORE the row axis
+            pl.BlockSpec((1, 1, tile, k_chunk),
+                         lambda bb, gg, kc: (bb, kc, gg, 0),
                          memory_space=pltpu.VMEM),
         ]
     )
@@ -191,7 +195,7 @@ def _stats_kernel(*refs, width, temperature, tile, k_chunk, num_chunks,
     meta_wins = refs[width:2 * width]
     q_feat = refs[2 * width][0]
     q_meta = refs[2 * width + 1][0]
-    li = refs[2 * width + 2][0]
+    li = refs[2 * width + 2][0, 0]  # (1, 1, T, K_CHUNK) block
     o_ref = refs[2 * width + 3]
 
     kc = pl.program_id(2)
@@ -244,7 +248,7 @@ def _grad_kernel(*refs, width, temperature, tile, k_chunk, window,
     meta_win = jnp.concatenate([r[0] for r in meta_wins], axis=0)
     q_feat = q_feat_ref[0]
     q_meta = q_meta_ref[0]
-    li = li_ref[0]
+    li = li_ref[0, 0]  # (1, 1, T, K_CHUNK) block
     w_sz = feat_win.shape[0]
     c = q_feat.shape[1]
     iota_w = lax.broadcasted_iota(jnp.int32, (tile, w_sz), 1)
@@ -298,13 +302,16 @@ def _row_meta(label_soft):
 
 
 def _pad_li(li, k_chunk, w_sz):
-    k = li.shape[-1]
+    """Pad K up to a chunk multiple with shadow indices and reshape to
+    [B, M, KC, K_CHUNK] (the chunk axis must be a leading block dim)."""
+    b, m, k = li.shape
     rem = (-k) % k_chunk
     if rem:
         li = jnp.concatenate(
-            [li, jnp.full(li.shape[:-1] + (rem,), w_sz, li.dtype)], axis=-1
+            [li, jnp.full((b, m, rem), w_sz, li.dtype)], axis=-1
         )
-    return li, (k + rem) // k_chunk
+    kc = (k + rem) // k_chunk
+    return li.reshape(b, m, kc, k_chunk).transpose(0, 2, 1, 3), kc
 
 
 def _stats_call(features, meta, li, temperature, tile, width, window,
