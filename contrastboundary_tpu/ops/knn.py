@@ -37,6 +37,43 @@ def _window_topk(neg_d2: jax.Array, k: int, recall: float | None):
     return lax.top_k(neg_d2, k)
 
 
+# Budget (elements × k) under which the EXACT iterative-argmax top-k plus the
+# fully-batched window formulation beats the sequential lax.map + lax.top_k
+# tile loop. Measured round 3 (PERF.md): on [B=4,G=64,T=256,W=768] exact
+# lax.top_k costs 14.6 ms (k=8) / 15.2 ms (k=35) while k argmax passes cost
+# 2.76 ms at k=8 (~145M element·passes/ms) — batched-iter wins to ~1G budget.
+_ITER_TOPK_BUDGET = 1_000_000_000
+
+
+def _iter_topk(neg: jax.Array, k: int):
+    """EXACT top-k over the last axis by k (max, argmax, mask) passes.
+
+    XLA's sort-based lax.top_k costs ~15 ms on 65k × 768-wide rows on v5e
+    regardless of k; k VPU argmax passes are 5× cheaper for small k and give
+    bit-identical results (first-index tie-breaking, like lax.top_k)."""
+    x = neg
+    iota = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, -1)
+        v = jnp.max(x, -1)
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        if len(vals) < k:
+            x = jnp.where(iota == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
+def _window_blocks(x: jax.Array, tile: int, width: int, starts_np):
+    """x [B, M, C] → [B, G, width·tile, C] window blocks via a static
+    tile-level gather (G·width rows — negligible next to the search)."""
+    b, m, c = x.shape
+    gq = len(starts_np)  # query tiles (may differ from x's tile count)
+    xt = x.reshape(b, m // tile, tile, c)
+    win = xt[:, jnp.asarray(starts_np)[:, None] + jnp.arange(width)[None, :]]
+    return win.reshape(b, gq, width * tile, c).astype(jnp.float32)
+
+
 def pairwise_sqdist(query: jax.Array, support: jax.Array) -> jax.Array:
     """Squared euclidean distances. query [M, 3], support [N, 3] → [M, N]."""
     qf = query.astype(jnp.float32)
@@ -277,6 +314,45 @@ def tile_self_knn(
     starts = _np.clip(_np.arange(g) - window, 0, g - width)  # [g] tiles
     starts_j = jnp.asarray(starts * tile, jnp.int32)
 
+    k_eff = min(k, w_sz)
+    if w_sz <= _EXACT_TOPK_WIDTH and b * m * w_sz * k_eff <= _ITER_TOPK_BUDGET:
+        # fully-batched EXACT path: one [B,G,T,W] distance einsum + k argmax
+        # passes — 3-5× the sequential lax.map + lax.top_k tile loop at the
+        # flagship shapes (PERF.md round 3); bit-identical results
+        q = sorted_pts.reshape(b, g, tile, 3).astype(jnp.float32)
+        win = _window_blocks(sorted_pts, tile, width, starts)
+        qn = jnp.sum(q * q, axis=-1)
+        sn = jnp.sum(win * win, axis=-1)
+        qs = jnp.einsum(
+            "bgtc,bgwc->bgtw", q, win,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.maximum(qn[..., None] + sn[..., None, :] - 2.0 * qs, 0.0)
+        row = lax.broadcasted_iota(jnp.int32, (g, tile, 1), 1)
+        self_pos = (
+            jnp.arange(g, dtype=jnp.int32)[:, None, None] * tile + row
+            - (starts_j)[:, None, None]
+        )  # [G, T, 1] window-relative self position
+        if exclude_self:
+            cidx = lax.broadcasted_iota(jnp.int32, (g, tile, w_sz), 2)
+            d2 = jnp.where((cidx == self_pos)[None], jnp.inf, d2)
+        neg, ci = _iter_topk(-d2, k_eff)
+        if k_eff < k:
+            ci = jnp.pad(
+                ci, ((0, 0), (0, 0), (0, 0), (0, k - k_eff)),
+                constant_values=w_sz,
+            )
+            neg = jnp.pad(
+                neg, ((0, 0), (0, 0), (0, 0), (0, k - k_eff)),
+                constant_values=-jnp.inf,
+            )
+        if ensure_self:
+            ci = ci.at[..., 0].set(self_pos[None, ..., 0])
+            neg = neg.at[..., 0].set(0.0)
+        local_idx = jnp.where(jnp.isinf(neg), w_sz, ci).reshape(b, m, k)
+        return order, local_idx, width
+
     def one_cloud(ps):
         pt = ps.reshape(g, tile, 3)
 
@@ -357,6 +433,35 @@ def tile_cross_knn(
     starts = _np.clip(centers - window, 0, gs - width)  # [gq] tiles
     starts_j = jnp.asarray(starts * tile, jnp.int32)
     k_eff = min(k, w_sz)
+
+    if w_sz <= _EXACT_TOPK_WIDTH and b * m * w_sz * k_eff <= _ITER_TOPK_BUDGET:
+        # fully-batched EXACT path (see tile_self_knn): one [B,Gq,T,W]
+        # distance einsum + k argmax passes instead of the sequential tile
+        # loop — the dominant win for the k∈{1,3,16} cross searches
+        q = query.reshape(b, gq, tile, 3).astype(jnp.float32)
+        win = _window_blocks(support, tile, width, starts)
+        qn = jnp.sum(q * q, axis=-1)
+        sn = jnp.sum(win * win, axis=-1)
+        qs_ = jnp.einsum(
+            "bgtc,bgwc->bgtw", q, win,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.maximum(qn[..., None] + sn[..., None, :] - 2.0 * qs_, 0.0)
+        neg, ci = _iter_topk(-d2, k_eff)
+        gi = starts_j[None, :, None, None] + ci
+        if k_eff < k:
+            gi = jnp.pad(
+                gi, ((0, 0), (0, 0), (0, 0), (0, k - k_eff)),
+                constant_values=n,
+            )
+            neg = jnp.pad(
+                neg, ((0, 0), (0, 0), (0, 0), (0, k - k_eff)),
+                constant_values=-jnp.inf,
+            )
+        idx = jnp.where(jnp.isinf(neg), n, gi).reshape(b, m, k)
+        d2_out = (-neg).reshape(b, m, k)
+        return idx.astype(jnp.int32), d2_out
 
     def one_cloud(qs, ss):
         qt = qs.reshape(gq, tile, 3)

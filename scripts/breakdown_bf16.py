@@ -60,14 +60,29 @@ def main():
     batch = make_batch()
     spec = spec_full()
 
+    # pyramid arms must depend on EVERY output (returning one leaf lets XLA
+    # dead-code-eliminate all the KNN work — the round-3 "0.0 ms" artifact)
+    def pyr_all(pts, sp):
+        pyr = build_pyramid(pts, sp)
+        leaves = [x for x in jax.tree.leaves(pyr) if hasattr(x, "dtype")]
+        return sum(jnp.sum(l[..., -1].astype(jnp.float32)) for l in leaves)
+
     # arm 1: pyramid only (no contrast/subscene)
     spec_min = PyramidSpec(layout="sorted", sampler="strided")
-    f = jax.jit(lambda pts: build_pyramid(pts, spec_min).points[-1])
+    f = jax.jit(lambda pts: pyr_all(pts, spec_min))
     t_pyr_min = timeit(f, batch["points"])
     print(f"pyramid (backbone only): {t_pyr_min:.1f} ms", flush=True)
 
+    # arm 1b: + contrast KNNs, no subscene
+    spec_c = PyramidSpec(
+        k_contrast=(36, 24, 24, 24, 24), layout="sorted", sampler="strided"
+    )
+    f = jax.jit(lambda pts: pyr_all(pts, spec_c))
+    t_pyr_c = timeit(f, batch["points"])
+    print(f"pyramid (+contrast KNNs): {t_pyr_c:.1f} ms", flush=True)
+
     # arm 2: full pyramid (contrast + subscene KNNs)
-    f = jax.jit(lambda pts: build_pyramid(pts, spec).points[-1])
+    f = jax.jit(lambda pts: pyr_all(pts, spec))
     t_pyr = timeit(f, batch["points"])
     print(f"pyramid (full, +contrast/subscene): {t_pyr:.1f} ms", flush=True)
 
@@ -95,24 +110,55 @@ def main():
     print(f"pyramid + forward: {t_fwd:.1f} ms  (fwd ~ {t_fwd - t_pyr:.1f})",
           flush=True)
 
-    # arm 4/5: full train step, CE only vs CE + 5-stage CBL
+    # arm 3a: forward variants isolating sub-costs (timing only — each
+    # variant re-inits its own params; deltas vs arm 3 locate the cost)
+    for vname, kw in (
+        ("no attention blocks", dict(blocks=(1, 1, 1, 1, 1))),
+        ("no multihead", dict(use_multihead=False)),
+    ):
+        mv = PointTransformerSeg(num_classes=13, dtype=jnp.bfloat16, **kw)
+        vv = jax.jit(mv.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), feats0, pyr, train=True
+        )
+
+        def fwd_v(pts, mv=mv, vv=vv):
+            pyrl = build_pyramid(pts, spec)
+            f0 = jnp.take_along_axis(
+                batch["features"], pyrl.order0[..., None], 1
+            )
+            out = mv.apply(vv, f0, pyrl, train=True, mutable=["batch_stats"])
+            return out[0].logits
+        t_v = timeit(jax.jit(fwd_v), batch["points"])
+        print(f"pyramid + forward [{vname}]: {t_v:.1f} ms", flush=True)
+
+    # arm 3b: eval-mode forward (BN running stats — isolates the train-mode
+    # batch-stat reductions)
+    def fwd_eval(pts):
+        pyrl = build_pyramid(pts, spec)
+        f0 = jnp.take_along_axis(batch["features"], pyrl.order0[..., None], 1)
+        out = model.apply(variables, f0, pyrl, train=False)
+        return out.logits
+    t_fe = timeit(jax.jit(fwd_eval), batch["points"])
+    print(f"pyramid + forward (eval BN): {t_fe:.1f} ms", flush=True)
+
+    # arm 4/5: full train step, CE only vs CE + 5-stage CBL.
+    # make_train_step donates the state: always rebind, never reuse.
     for name, contrast in (
         ("CE only", None),
         ("CE + CBL", ContrastConfig()),
     ):
         cfg = TrainStepConfig(num_classes=13, spec=spec, contrast=contrast)
-        state = create_train_state(variables, tx)
         step = make_train_step(model, cfg)
-
-        st = state
-        step(st, batch)  # warm
+        # deep-copy: the donated step would otherwise delete `variables`'
+        # buffers out from under the next arm
+        st = create_train_state(jax.tree.map(jnp.copy, variables), tx)
+        st, _ = step(st, batch)  # warm (donates and rebinds)
         best = float("inf")
         for _ in range(4):
             t0 = time.time()
-            s = st
             for _ in range(10):
-                s, m = step(s, batch)
-            jax.block_until_ready(s.params)
+                st, m = step(st, batch)
+            jax.block_until_ready(st.params)
             best = min(best, (time.time() - t0) / 10)
         print(f"train step ({name}): {best*1e3:.1f} ms "
               f"({B*N/best/1e3:.0f}k pts/s)", flush=True)

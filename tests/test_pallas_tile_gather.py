@@ -68,6 +68,25 @@ def test_shadow_rows_zero_and_no_grad(rng):
     np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
+def test_hybrid_matches_xla_fwd_and_bwd(rng):
+    from contrastboundary_tpu.ops.tile_gather import tile_window_gather_hybrid
+
+    x, li = _case(rng, b=1, g=3, tile=16, width=3, k=4, cl=8)
+    ref = tile_window_gather(x, li, 16, 3)
+    out = tile_window_gather_hybrid(x, li, 16, 3, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss(impl, interp):
+        def f(xx):
+            o = impl(xx, li, 16, 3, True) if interp else impl(xx, li, 16, 3)
+            return jnp.sum(jnp.sin(o.astype(jnp.float32)) * 0.1)
+        return f
+
+    g_ref = jax.grad(loss(tile_window_gather, False))(x)
+    g_h = jax.grad(loss(tile_window_gather_hybrid, True))(x)
+    np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_ref), atol=1e-5)
+
+
 def test_auto_dispatch_falls_back_on_cpu(rng):
     # on the CPU test backend the auto path must silently use XLA
     x, li = _case(rng, b=1, g=2, tile=16, width=3, k=3, cl=8)

@@ -220,3 +220,57 @@ def test_cbl_tile_mode_gradients(rng):
     gd, gt = f(dense), f(tiled)
     for a, b in zip(gd, gt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_batched_iter_path_matches_map_path(rng, monkeypatch):
+    """The round-3 batched iterative-argmax tile KNN must agree exactly with
+    the sequential lax.map + lax.top_k path (both are exact searches)."""
+    import importlib
+
+    knn_mod = importlib.import_module("contrastboundary_tpu.ops.knn")
+    from contrastboundary_tpu.ops.knn import tile_cross_knn
+
+    b, m, k, tile = 2, 1024, 8, 128
+    pts = jnp.asarray(rng.rand(b, m, 3).astype(np.float32))
+
+    def self_arms(**kw):
+        _, li_b, w_b = tile_self_knn(pts, k, tile=tile, window=1, **kw)
+        monkeypatch.setattr(knn_mod, "_ITER_TOPK_BUDGET", 0)
+        _, li_m, w_m = tile_self_knn(pts, k, tile=tile, window=1, **kw)
+        monkeypatch.undo()
+        assert w_b == w_m
+        np.testing.assert_array_equal(np.asarray(li_b), np.asarray(li_m))
+
+    self_arms(exclude_self=True, recall=None)
+    self_arms(exclude_self=False, ensure_self=True, recall=None)
+
+    q = pts[:, ::4]
+    i_b, d_b = tile_cross_knn(q, pts, 3, tile=128, window=1, recall=None)
+    monkeypatch.setattr(knn_mod, "_ITER_TOPK_BUDGET", 0)
+    tile_cross_knn.clear_cache()  # else the jitted batched trace is reused
+    i_m, d_m = tile_cross_knn(q, pts, 3, tile=128, window=1, recall=None)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_m))
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_m), rtol=1e-6)
+
+
+def test_batched_iter_path_tiny_level_padding(rng, monkeypatch):
+    """k > window rows: both paths pad with shadows identically."""
+    import importlib
+
+    knn_mod = importlib.import_module("contrastboundary_tpu.ops.knn")
+    from contrastboundary_tpu.ops.knn import tile_cross_knn
+
+    b, m, tile = 1, 32, 16
+    pts = jnp.asarray(rng.rand(b, m, 3).astype(np.float32))
+    k = 40  # > w_sz = 32
+    _, li_b, w = tile_self_knn(
+        pts, k, tile=tile, window=1, exclude_self=True, recall=None
+    )
+    monkeypatch.setattr(knn_mod, "_ITER_TOPK_BUDGET", 0)
+    _, li_m, _ = tile_self_knn(
+        pts, k, tile=tile, window=1, exclude_self=True, recall=None
+    )
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(li_b), np.asarray(li_m))
+    assert np.all(np.asarray(li_b)[..., -(40 - w * tile):] == w * tile)
