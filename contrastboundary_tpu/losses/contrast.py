@@ -319,17 +319,39 @@ def cbl_stage_loss(
         features = features / jnp.maximum(
             jnp.linalg.norm(features, axis=-1, keepdims=True), EPS
         )
-    # one fused gather (row-bound on TPU): [label_soft | features]. When the
+    # one fused gather (row-bound on TPU): [labels | features]. When the
     # model runs in bfloat16, gather in bf16 too: the tile-mode one-hot
     # matmul (ops/tile_gather.py) then takes its single-pass MXU path (3×
-    # cheaper than the f32-exact bf16×3). Soft labels round to ~3 decimal
-    # digits, which only matters at posmask near-ties (either side is fine).
+    # cheaper than the f32-exact bf16×3).
+    #
+    # For the `cnt` posmask only the per-neighbor label ARGMAX and validity
+    # matter (argmax-equality, pytorch/model/heads.py:145-149), and
+    # argmax(label[idx]) == argmax(label)[idx] — so gather a 2-channel
+    # (argmax, any-valid) summary instead of the ncls-channel distribution:
+    # fewer gather channels AND the [B, M, K, ncls] argmax disappears. This
+    # is computed on the f32 labels BEFORE any bf16 cast (class ids ≤ 12 and
+    # 0/1 flags are exact in bf16), so it is exact where the old bf16-rounded
+    # distribution gather could flip near-ties. The `kl` posmask needs the
+    # full distribution and keeps the wide gather.
     c = features.shape[-1]
     fuse_dtype = (
         jnp.bfloat16 if features.dtype == jnp.bfloat16 else label_soft.dtype
     )
+    cnt_fast = cfg.pos == "cnt"
+    if cnt_fast:
+        center_arg = jnp.argmax(label_soft, axis=-1).astype(jnp.int32)
+        lab_pack = jnp.stack(
+            [
+                center_arg.astype(jnp.float32),
+                (jnp.sum(label_soft, axis=-1) > 0).astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [B, M, 2]
+    else:
+        lab_pack = label_soft
+    n_lab = lab_pack.shape[-1]
     fused = jnp.concatenate(
-        [label_soft.astype(fuse_dtype), features.astype(fuse_dtype)], -1
+        [lab_pack.astype(fuse_dtype), features.astype(fuse_dtype)], -1
     )
 
     if (
@@ -396,8 +418,8 @@ def cbl_stage_loss(
     )
     # loss math stays f32 regardless of the gather dtype (the reference's
     # head computes in f32; only the gather matmul takes the bf16 fast path)
-    nb_label = nb[..., : label_soft.shape[-1]].astype(jnp.float32)
-    nb_feat = nb[..., label_soft.shape[-1] :].astype(jnp.float32)
+    nb_label = nb[..., :n_lab].astype(jnp.float32)
+    nb_feat = nb[..., n_lab:].astype(jnp.float32)
     features = features.astype(jnp.float32)
     label_soft = label_soft.astype(jnp.float32)
 
@@ -405,13 +427,14 @@ def cbl_stage_loss(
     # exclude them as centers AND as neighbors (the reference's ignored-label
     # validity masks, tensorflow/models/heads/head.py:541-544)
     center_valid = jnp.sum(label_soft, axis=-1) > 0  # [B, M]
-    valid = valid & (jnp.sum(nb_label, axis=-1) > 0)
 
     forced = ~jnp.isnan(force_pos) if force_pos is not None else None
-    if cfg.pos == "kl":
-        posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
+    if cnt_fast:
+        valid = valid & (nb_label[..., 1] > 0.5)
+        posmask = center_arg[..., None] == nb_label[..., 0].astype(jnp.int32)
     else:
-        posmask = _posmask_cnt(label_soft, nb_label)
+        valid = valid & (jnp.sum(nb_label, axis=-1) > 0)
+        posmask = _posmask_kl(label_soft, nb_label, cfg.kl_threshold)
     if forced is not None:
         posmask = jnp.where(forced, force_pos > 0.5, posmask)
     validf = valid.astype(jnp.float32)

@@ -212,6 +212,68 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         order0 = serialized_order(points)
         points = batch_gather(points, order0)
 
+    # When the backbone self-KNN and the contrast-KNN share the same tile
+    # window geometry (the flagship default), ONE window search serves both:
+    # the top-max(k_self, k_contrast) list INCLUDING self yields
+    #   self_idx    = first k_self slots with slot 0 forced to self
+    #                 (bit-identical to the separate ensure_self search:
+    #                 the first k of a longer exact top-k is the top-k), and
+    #   contrast_idx = the first k_contrast slots with the self entry
+    #                 dropped (bit-identical to the exclude-self search:
+    #                 removing self from the top-k leaves the k-1 smallest
+    #                 non-self candidates in the same tie-break order; if
+    #                 self is absent — all-duplicate corner — the first
+    #                 k_contrast-1 slots already are that set).
+    # This halves the window distance einsums and merges the two top-k
+    # extractions per level (PERF.md round 3).
+    merge_contrast = (
+        sorted_layout
+        and spec.k_contrast is not None
+        and spec.self_tile == spec.contrast_tile
+        and spec.self_window == spec.contrast_window
+    )
+    merged_contrast_idx: list = [None] * spec.num_levels
+
+    def _merged_self_contrast(pts_l, level, tile_l):
+        """One tile-window search → (self_idx, (tile, width), contrast_idx)."""
+        import numpy as _np
+
+        from .knn import tile_self_knn
+
+        b_l, m_l, _ = pts_l.shape
+        ks = spec.k_self[level]
+        kc = spec.k_contrast[level]  # contrast keeps kc-1 neighbors
+        km = max(ks, kc)
+        _, li, width = tile_self_knn(
+            pts_l, km, tile=tile_l, window=spec.self_window,
+            exclude_self=False, ensure_self=False,
+            recall=spec.knn_recall, assume_sorted=True,
+        )
+        g = m_l // tile_l
+        starts = _np.clip(
+            _np.arange(g) - spec.self_window, 0, g - width
+        )  # [g] tiles
+        self_pos = jnp.asarray(
+            _np.arange(m_l) - _np.repeat(starts * tile_l, tile_l), jnp.int32
+        )  # [m_l] window-relative self position (static)
+
+        s_idx = jnp.concatenate(
+            [
+                jnp.broadcast_to(self_pos[None, :, None], (b_l, m_l, 1)),
+                li[..., 1:ks],
+            ],
+            axis=-1,
+        )
+        is_self = li[..., :kc] == self_pos[None, :, None]
+        slot = jnp.where(
+            jnp.any(is_self, axis=-1), jnp.argmax(is_self, axis=-1), kc
+        )  # position of self among the first kc slots; kc if absent
+        j = jnp.arange(kc - 1, dtype=jnp.int32)
+        c_idx = jnp.where(
+            j[None, None, :] < slot[..., None], li[..., : kc - 1], li[..., 1:kc]
+        )
+        return s_idx, (tile_l, width), c_idx
+
     def _self_knn(pts_l, k, level):
         """Level self-KNN → (idx, local_meta). Sorted layout: window-relative
         tile-local indices (+ (tile, width)); else global indices (+ None)."""
@@ -251,9 +313,19 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
             recall=spec.knn_recall,
         )
 
+    def _level_self(pts_l, level):
+        """Self-KNN for one level, using the merged search when it applies."""
+        m_l = pts_l.shape[1]
+        tile_l = min(spec.self_tile, m_l)
+        if merge_contrast and m_l % tile_l == 0:
+            s_idx, loc, c_idx = _merged_self_contrast(pts_l, level, tile_l)
+            merged_contrast_idx[level] = c_idx
+            return s_idx, loc
+        return _self_knn(pts_l, spec.k_self[level], level)
+
     pts = [points]
     sample_idx = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))]
-    s_idx0, s_loc0 = _self_knn(points, spec.k_self[0], 0)
+    s_idx0, s_loc0 = _level_self(points, 0)
     self_idx = [s_idx0]
     self_local = [s_loc0]
     down_idx = [None]
@@ -292,7 +364,7 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
             radius=spec.down_radii[l] if spec.down_radii else None,
         )
         down_idx.append(d_idx)
-        s_idx, s_loc = _self_knn(cur, spec.k_self[l], l)
+        s_idx, s_loc = _level_self(cur, l)
         self_idx.append(s_idx)
         self_local.append(s_loc)
         u_idx, u_d2 = _cross(prev, cur, spec.k_up)
@@ -310,6 +382,11 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         for l in range(spec.num_levels):
             m_l = pts[l].shape[1]
             tile_l = min(spec.contrast_tile, m_l)
+            if merged_contrast_idx[l] is not None:
+                # already computed by the merged self+contrast search
+                contrast_idx.append(merged_contrast_idx[l])
+                contrast_local[l] = self_local[l]
+                continue
             if use_tile and m_l % tile_l == 0:
                 # sorted layout: the level is already Morton-sorted, so the
                 # CBL needs no per-stage re-sort (contrast_order stays None)

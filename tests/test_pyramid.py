@@ -106,3 +106,48 @@ def test_paper_presets_protocol():
         cfg = load_config(name)
         assert cfg.eval.num_votes == 20.0
         assert cfg.eval.smooth == 0.95
+
+
+def test_merged_self_contrast_bit_exact(rng):
+    """The merged self+contrast window search (one top-max(ks,kc) list
+    including self) must reproduce the separate ensure_self / exclude_self
+    searches bit-exactly, including with duplicate (padded) points."""
+    import contrastboundary_tpu.ops.pyramid as pyr_mod
+    from contrastboundary_tpu.ops.knn import tile_self_knn
+
+    b, n = 2, 1024
+    pts = rng.rand(b, n, 3).astype(np.float32)
+    # padded-crop duplicates: repeat some rows (zero-distance ties)
+    pts[0, 700:720] = pts[0, 100:120]
+    spec = PyramidSpec(
+        strides=(1, 4), k_self=(8, 8), k_down=(8, 8),
+        k_contrast=(12, 10), with_subscene=True,
+        layout="sorted", sampler="strided",
+        self_tile=128, contrast_tile=128,
+    )
+    pyr = build_pyramid(jnp.asarray(pts), spec)
+
+    for l in range(2):
+        tile, width = pyr.self_local[l]
+        assert pyr.contrast_local[l] == (tile, width)
+        p_l = np.asarray(pyr.points[l])
+        # separate searches, old semantics
+        _, s_ref, w1 = tile_self_knn(
+            jnp.asarray(p_l), spec.k_self[l], tile=tile,
+            window=spec.self_window, exclude_self=False, ensure_self=True,
+            recall=spec.knn_recall, assume_sorted=True,
+        )
+        _, c_ref, w2 = tile_self_knn(
+            jnp.asarray(p_l), spec.k_contrast[l] - 1, tile=tile,
+            window=spec.contrast_window, exclude_self=True,
+            recall=spec.knn_recall, assume_sorted=True,
+        )
+        assert w1 == width and w2 == width
+        np.testing.assert_array_equal(
+            np.asarray(pyr.self_idx[l]), np.asarray(s_ref),
+            err_msg=f"self_idx level {l}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pyr.contrast_idx[l]), np.asarray(c_ref),
+            err_msg=f"contrast_idx level {l}",
+        )
