@@ -35,7 +35,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl")
+    from contrastboundary_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from contrastboundary_tpu.losses.contrast import ContrastConfig

@@ -7,7 +7,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl")
+from contrastboundary_tpu.utils.cache import setup_compile_cache
+setup_compile_cache()
 
 from contrastboundary_tpu.ops.tile_gather import tile_window_gather
 from contrastboundary_tpu.ops.pallas.tile_gather_pl import tile_window_gather_pl

@@ -10,7 +10,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl")
+from contrastboundary_tpu.utils.cache import setup_compile_cache
+setup_compile_cache()
 
 T, C, K = 256, 64, 8
 G = 4

@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl")
+from contrastboundary_tpu.utils.cache import setup_compile_cache
+setup_compile_cache()
 
 from contrastboundary_tpu.data import SyntheticSceneDataset, make_batch_iterator
 from contrastboundary_tpu.data.transforms import default_train_transform

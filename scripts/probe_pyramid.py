@@ -12,7 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl")
+from contrastboundary_tpu.utils.cache import setup_compile_cache
+setup_compile_cache()
 
 from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
 

@@ -9,7 +9,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cbl")
+from contrastboundary_tpu.utils.cache import setup_compile_cache
+setup_compile_cache()
 
 from contrastboundary_tpu.core.gather import batch_gather
 from contrastboundary_tpu.ops.knn import tile_self_knn, tile_cross_knn
