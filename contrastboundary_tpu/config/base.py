@@ -198,8 +198,16 @@ class Config:
             self.model.dtype
         ]
         multi = self.heads.get("multi", {})
+        mlp = self.heads.get("mlp", {})
+        if multi and mlp:
+            raise ValueError(
+                "arch_out selects both a 'multi' and a plain 'mlp' head; "
+                "the model builds exactly one prediction path — pick one"
+            )
         head_kw = dict(
             use_multihead=self.use_multihead,
+            mlp_depth=mlp.get("depth", 1),
+            mlp_drop=mlp.get("drop"),
             multi_combine=multi.get("combine", "concat"),
             multi_stages=multi.get("stages"),
             multi_ftype=multi.get("ftype", "latent"),
@@ -296,14 +304,57 @@ def gen_configs(base_name: str, base: Dict[str, Any], axes: Dict[str, list]):
     return names
 
 
-def load_config(name: str = "default", sets: Optional[str] = None) -> Config:
-    """Named preset + `--set a.b:v;c:v` overrides (reference main.py:42-44)."""
+def load_yaml_config(path: str) -> Dict[str, Any]:
+    """Read a YAML update file into an override dict — the reference's
+    config-file mechanism (tensorflow/config/utils.py:87-146 merges YAMLs
+    like config/s3dis/adapt.yaml over generated configs; the whole PyTorch
+    stack is YAML-configured, pytorch/util/config.py CfgNode).
+
+    Keys are this repo's dotted config paths (`data.voxel_size: 0.02`) or
+    nested sections (`data: {voxel_size: 0.02}`) — the same namespace as
+    `--set`, so a reference YAML translates key-for-key. An optional `_base`
+    key names the preset the file extends (default: the CLI `-c` preset)."""
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    if not isinstance(d, dict):
+        raise ValueError(f"config file {path!r} must be a YAML mapping")
+    return d
+
+
+def load_config(
+    name: str = "default",
+    sets: Optional[str] = None,
+    cfg_file: Optional[str] = None,
+) -> Config:
+    """Named preset + optional YAML update file + `--set a.b:v;c:v` overrides
+    (reference main.py:42-44 + config/utils.py:87-146). Precedence: preset <
+    YAML < --set. `name` may itself be a `.yaml`/`.yml` path — its `_base`
+    key (or 'default') picks the preset it extends."""
     from . import s3dis as _s3dis  # noqa: F401  (registers presets)
 
-    cfg = Config(name=name)
-    if name not in CONFIGS:
-        raise KeyError(f"unknown config {name!r}; known: {sorted(CONFIGS)}")
-    _update_dataclass(cfg, CONFIGS[name])
+    yaml_overrides: Dict[str, Any] = {}
+    if name.endswith((".yaml", ".yml")):
+        import os
+
+        yaml_overrides = load_yaml_config(name)
+        base = yaml_overrides.pop("_base", "default")
+        cfg = Config(name=os.path.splitext(os.path.basename(name))[0])
+        if base not in CONFIGS:
+            raise KeyError(f"unknown _base {base!r}; known: {sorted(CONFIGS)}")
+        _update_dataclass(cfg, CONFIGS[base])
+    else:
+        cfg = Config(name=name)
+        if name not in CONFIGS:
+            raise KeyError(f"unknown config {name!r}; known: {sorted(CONFIGS)}")
+        _update_dataclass(cfg, CONFIGS[name])
+    if cfg_file:
+        upd = load_yaml_config(cfg_file)
+        upd.pop("_base", None)  # the -c / path preset already decided
+        yaml_overrides.update(upd)
+    if yaml_overrides:
+        _update_dataclass(cfg, yaml_overrides)
     if sets:
         upd = {}
         for kv in sets.split(";"):

@@ -105,8 +105,14 @@ def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
             kw["power"] = float(_POWER_RE.match(t).group(1))
         elif t.startswith("proj"):
             kw["project"] = t[4:] or "mlp"
-        elif t in ("nst", "max", "soft"):
+        elif t in ("nst", "max", "soft", "recur", "recurhard"):
             kw["label_infer"] = t
+        elif t.startswith("label_") and t[6:] in ("nst", "recur", "recurhard"):
+            # the reference sample grammar joins with '_' inside one segment:
+            # 'label_nst' / 'label_recur' / 'label_recurhard'
+            # (tensorflow/config/head.py:124-126; dispatch at
+            # models/heads/head.py:489-527) — accept the published spelling
+            kw["label_infer"] = t[6:]
         elif re.match(r"^nn\d+$", t):
             kw["extra_pos_nn"] = int(t[2:])
         elif re.match(r"^rand\d+$", t):
@@ -120,6 +126,44 @@ def parse_contrast_ops(ops: str, num_layers: int = 5) -> ContrastConfig:
     else:
         kw["stages"] = tuple(range(num_layers))
     return ContrastConfig(**kw)
+
+
+_DROP_RE = re.compile(r"^dp(\d*\.?\d+|\.\d+)$")
+
+
+def parse_mlp_ops(ops: str) -> dict:
+    """Parse the plain-head op-string '<depth>-<loss>[-dp<p>][-w<f>]'
+    (reference `mlp` head grammar, tensorflow/config/head.py:56-82):
+    depth = latent-tower depth (f_out → latent, '2-xen' = 2 layers),
+    loss ∈ xen | sigmoid | none, 'dp<p>' = dropout on the latent
+    (applied at models/heads/head.py:273-274), 'w<f>' = float loss weight.
+    The reference's 'class'/'center' re-weighting (get_class_weight with
+    dataset-specific tables) is not wired — raise explicitly."""
+    tokens = ops.split("-")
+    if tokens and tokens[0] == "mlp":
+        tokens = tokens[1:]
+    out = {"depth": 1, "loss": "xen", "drop": None, "weight": 1.0}
+    for t in tokens:
+        if not t:
+            continue
+        if t.isdigit():
+            out["depth"] = int(t)
+        elif t in ("xen", "sigmoid", "none"):
+            out["loss"] = t
+        elif _DROP_RE.match(t):
+            out["drop"] = float(_DROP_RE.match(t).group(1))
+        elif _WEIGHT_RE.match(t):
+            out["weight"] = float(_WEIGHT_RE.match(t).group(1))
+        elif t in ("class", "center"):
+            raise NotImplementedError(
+                f"mlp-head weight {t!r} (reference get_class_weight, "
+                "tensorflow/models/heads/head.py:318-327) is not wired"
+            )
+        elif t == "pred":
+            pass  # parsed and ignored, like the reference (config/head.py:81)
+        else:
+            raise ValueError(f"unknown mlp-head token {t!r} in {ops!r}")
+    return out
 
 
 _BRANCH_LOSS_RE = re.compile(r"^(loss(?:Sub)?)((?:\d*\.)?\d+)?$")
@@ -193,8 +237,8 @@ def parse_arch_out(arch_out: str, num_layers: int = 5) -> dict:
             heads["multi"] = parse_multi_ops(seg, num_layers)
         elif seg.startswith("contrast"):
             heads["contrast"] = parse_contrast_ops(seg, num_layers)
-        elif seg.startswith("mlp") or seg == "1-xen":
-            heads["mlp"] = {"ops": seg}
+        elif seg.startswith("mlp") or re.match(r"^\d+-", seg):
+            heads["mlp"] = parse_mlp_ops(seg)
         elif pos == 0:
             # the reference's leading segment selects the backbone/local
             # aggregation ('', 'pospool', 'adapt', …) — config/s3dis.py:147-185

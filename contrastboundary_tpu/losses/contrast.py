@@ -103,7 +103,9 @@ class ContrastConfig:
     ftype: str = "latent"
     # sub-scene label inference: 'soft' mean one-hot over kr (default),
     # 'nst' nearest-1 one-hot (TF head.py:83-91), 'max' argmax of the mean
-    # distribution (TF head.py:127-128, hard labels)
+    # distribution (TF head.py:127-128, hard labels), 'recur' stage-to-stage
+    # soft recursion, 'recurhard' recursion re-hardened per hop (TF
+    # head.py:51-81 + :524-527; DSL tokens 'label_recur'/'label_recurhard')
     label_infer: str = "soft"
     # extra sample sets concatenated to the label-based neighbors
     # (TF sample_labels, head.py:561-601): nn<k> forces the k spatially
@@ -493,15 +495,32 @@ def cbl_loss(
     ]
 
     recur_labels = None
-    if cfg.label_infer == "recur":
+    if cfg.label_infer in ("recur", "recurhard"):
         # recursive stage-to-stage propagation (TF head.py:51-81): stage-i
-        # labels = mean of stage-(i-1) labels over the pooling neighborhood,
-        # instead of a direct search back to level 0
+        # labels from stage-(i-1) labels over the pooling neighborhood,
+        # instead of a direct search back to level 0. 'recur' = soft mean
+        # per hop (reduction='soft'); 'recurhard' re-hardens each hop —
+        # sum the one-hots, argmax, re-one-hot (reduction='max',
+        # get_neighbor_summary TF head.py:117-131; dispatch :524-527).
+        # Deviation, documented: the reference argmaxes an all-ignored
+        # (all-zero) row to class 0; here such rows STAY all-zero, per this
+        # repo's ignore-label invariant (they are masked downstream).
+        hard = cfg.label_infer == "recurhard"
         lv = subscene_labels(labels0, None, num_classes, ignore_label)
         recur_labels = [lv]
         for l in range(1, len(pyramid.points)):
             nb, _ = shadow_gather(lv, pyramid.down_idx[l], fill=0.0)
-            lv = jnp.mean(nb, axis=-2)
+            if hard:
+                s = jnp.sum(nb, axis=-2)
+                any_valid = jnp.sum(s, axis=-1, keepdims=True) > 0
+                lv = (
+                    jax.nn.one_hot(
+                        jnp.argmax(s, axis=-1), num_classes, dtype=jnp.float32
+                    )
+                    * any_valid
+                )
+            else:
+                lv = jnp.mean(nb, axis=-2)
             recur_labels.append(lv)
 
     orders = getattr(pyramid, "contrast_order", ()) or (None,) * len(latents)

@@ -33,6 +33,30 @@ def cross_entropy(
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def sigmoid_cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    ignore_label: int = -1,
+) -> jax.Array:
+    """Binary sigmoid cross-entropy — the reference mlp-head 'sigmoid' loss
+    (tensorflow/models/heads/head.py:216-221: flattened logits vs int labels
+    cast to float). Requires single-channel logits (binary task); mean over
+    points whose label != ignore_label."""
+    if logits.shape[-1] != 1:
+        raise ValueError(
+            "the 'sigmoid' mlp-head loss is element-wise binary CE; logits "
+            f"must have 1 channel (got {logits.shape[-1]}) — the reference's "
+            "flattened shapes only align for binary heads"
+        )
+    valid = labels != ignore_label
+    y = jnp.where(valid, labels, 0).astype(jnp.float32)
+    x = logits[..., 0].astype(jnp.float32)
+    # numerically stable BCE-with-logits: max(x,0) − x·y + log1p(e^{−|x|})
+    bce = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    w = valid.astype(jnp.float32)
+    return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def soft_cross_entropy(logits: jax.Array, soft_labels: jax.Array) -> jax.Array:
     """Cross-entropy against a soft label distribution — the reference's
     downsampled-stage supervision (tensorflow/models/heads/head.py:303-317:

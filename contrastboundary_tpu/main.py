@@ -67,6 +67,7 @@ def setup(cfg, logger):
     model = cfg.build_model()
     spec = cfg.pyramid_spec()
     multi = cfg.heads.get("multi", {})
+    mlp = cfg.heads.get("mlp", {})
     step_cfg = TrainStepConfig(
         num_classes=cfg.data.num_classes,
         spec=spec,
@@ -74,6 +75,9 @@ def setup(cfg, logger):
         ignore_label=cfg.data.ignore_label,
         branch_loss=multi.get("branch_loss", ""),
         branch_weight=multi.get("branch_weight", 1.0),
+        main_loss=mlp.get("loss", "xen"),
+        main_weight=mlp.get("weight", 1.0),
+        has_dropout=bool(mlp.get("drop")),
     )
 
     train_ds = build_dataset(cfg, "train")
@@ -104,8 +108,12 @@ def setup(cfg, logger):
         )
     )
     pyr = build_pyramid(jnp.asarray(ex["points"]), spec)
+    init_rngs = {
+        "params": jax.random.PRNGKey(cfg.seed),
+        "dropout": jax.random.PRNGKey(cfg.seed + 1),
+    }
     variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(cfg.seed), jnp.asarray(ex["features"]), pyr, train=True
+        init_rngs, jnp.asarray(ex["features"]), pyr, train=True
     )
     nparams = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     logger.info(f"model {cfg.model.arch}: {nparams/1e6:.2f}M params, "
@@ -184,62 +192,96 @@ def run_eval(
     )
 
     if extra_ops and "boundary" in extra_ops:
-        from .eval.boundary import BoundaryEvaluator, save_eval_h5
+        from .eval.boundary import save_eval_h5
 
-        bev = BoundaryEvaluator(
-            cfg.data.num_classes, radius=cfg.model.base_radius
-        )
-        clouds = []
-        for cs in ev.clouds:
-            bev.add_cloud(
-                cs.coord, cs.label.astype(np.int64), cs.probs,
-                features=cs.features or None,
-            )
-            clouds.append(
-                {"coord": cs.coord, "label": cs.label, "prob": cs.probs}
-            )
-        br = bev.results()
-        m["boundary"] = br
-        logger.info(f"boundary: B-IoU {br['B-IoU']:.4f}")
-        for which in ("bound", "plain", "ideal"):
-            s = br[f"conf_{which}_label"]
-            logger.info(
-                f"  conf_{which}: mIoU {s['mIoU']:.4f} OA {s['OA']:.4f} "
-                f"mACC {s['mACC']:.4f}"
-            )
-        d = br["dist_prob:kl"]
-        logger.info(
-            f"  prob-kl across boundary: pos {d['pos']:.4f} neg {d['neg']:.4f} "
-            f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
-        )
-        # feature-distance-across-boundary stats (tester.py:817-886)
-        for key in sorted(br):
-            if key.startswith("dist_latent"):
-                d = br[key]
-                logger.info(
-                    f"  {key}: pos {d['pos']:.4f} neg {d['neg']:.4f} "
-                    f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
-                )
-        if "stat" in extra_ops:
-            # per-class boundary FP/FN tables (tester.py:800-830)
-            st = bev.stat()
-            m["stat"] = st
-            for mask_n in ("label", "pred"):
-                logger.info(
-                    f"  stat[{mask_n}]: {st[f'pct_err_on_bound_{mask_n}']*100:5.1f}% "
-                    f"of error on bound ({st[f'err_bound_{mask_n}']} bound / "
-                    f"{st[f'err_plain_{mask_n}']} plain / {st['err_total']} total)"
-                )
-                for err_t in ("FP", "FN"):
-                    b = st[f"{mask_n}-bound"][err_t]
-                    p = st[f"{mask_n}-plain"][err_t]
-                    with np.printoptions(linewidth=200):
-                        logger.info(f"  stat {mask_n} bound {err_t}: {b}")
-                        logger.info(f"  stat {mask_n} plain {err_t}: {p}")
+        clouds = [
+            {
+                "coord": cs.coord, "label": cs.label, "prob": cs.probs,
+                "features": cs.features or None,
+            }
+            for cs in ev.clouds
+        ]
+        m.update(run_boundary_suite(cfg, clouds, logger, extra_ops))
         if h5_path:
-            save_eval_h5(h5_path, clouds)
+            save_eval_h5(
+                h5_path,
+                [{k: c[k] for k in ("coord", "label", "prob")} for c in clouds],
+            )
             logger.info(f"saved eval artifacts to {h5_path}")
     return m
+
+
+def run_boundary_suite(cfg, clouds, logger, extra_ops: str) -> dict:
+    """Boundary suite over per-cloud (coord, label, prob[, features]) dicts —
+    shared by the live voting eval and the offline h5 re-analysis (reference
+    solve_extra_ops, tensorflow/utils/tester.py:786-886; offline entry
+    :1077-1124). Returns {'boundary': ..., ['stat': ...]}."""
+    from .eval.boundary import BoundaryEvaluator
+
+    bev = BoundaryEvaluator(cfg.data.num_classes, radius=cfg.model.base_radius)
+    for c in clouds:
+        bev.add_cloud(
+            np.asarray(c["coord"]),
+            np.asarray(c["label"]).astype(np.int64),
+            np.asarray(c["prob"]),
+            features=c.get("features") or None,
+        )
+    m: dict = {}
+    br = bev.results()
+    m["boundary"] = br
+    logger.info(f"boundary: B-IoU {br['B-IoU']:.4f}")
+    for which in ("bound", "plain", "ideal"):
+        s = br[f"conf_{which}_label"]
+        logger.info(
+            f"  conf_{which}: mIoU {s['mIoU']:.4f} OA {s['OA']:.4f} "
+            f"mACC {s['mACC']:.4f}"
+        )
+    d = br["dist_prob:kl"]
+    logger.info(
+        f"  prob-kl across boundary: pos {d['pos']:.4f} neg {d['neg']:.4f} "
+        f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
+    )
+    # feature-distance-across-boundary stats (tester.py:817-886)
+    for key in sorted(br):
+        if key.startswith("dist_latent"):
+            d = br[key]
+            logger.info(
+                f"  {key}: pos {d['pos']:.4f} neg {d['neg']:.4f} "
+                f"bound {d['bound_mean']:.4f} plain {d['plain_mean']:.4f}"
+            )
+    if "stat" in extra_ops:
+        # per-class boundary FP/FN tables (tester.py:800-830)
+        st = bev.stat()
+        m["stat"] = st
+        for mask_n in ("label", "pred"):
+            logger.info(
+                f"  stat[{mask_n}]: {st[f'pct_err_on_bound_{mask_n}']*100:5.1f}% "
+                f"of error on bound ({st[f'err_bound_{mask_n}']} bound / "
+                f"{st[f'err_plain_{mask_n}']} plain / {st['err_total']} total)"
+            )
+            for err_t in ("FP", "FN"):
+                b = st[f"{mask_n}-bound"][err_t]
+                p = st[f"{mask_n}-plain"][err_t]
+                with np.printoptions(linewidth=200):
+                    logger.info(f"  stat {mask_n} bound {err_t}: {b}")
+                    logger.info(f"  stat {mask_n} plain {err_t}: {p}")
+    return m
+
+
+def analyze(cfg, logger, h5_path: str, extra_ops: str = "boundary-stat") -> dict:
+    """Offline re-analysis of saved eval artifacts — the boundary suite from
+    an h5 file WITHOUT a model (reference solve_extra_ops_from_file,
+    tensorflow/utils/tester.py:1077-1124). Produces numbers identical to the
+    in-process run that wrote the file."""
+    from .eval.boundary import load_eval_h5
+
+    if not h5_path:
+        raise SystemExit("--mode analyze requires --h5 <saved val_*.h5>")
+    clouds = load_eval_h5(h5_path)
+    logger.info(f"analyze: {len(clouds)} clouds from {h5_path}")
+    if "boundary" not in extra_ops:
+        extra_ops = "boundary-" + extra_ops
+    return run_boundary_suite(cfg, clouds, logger, extra_ops)
 
 
 def train(cfg, logger, exp_dir: str):
@@ -601,9 +643,16 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="contrastboundary_tpu")
     parser.add_argument("-c", "--config", default="synthetic_tiny")
     parser.add_argument("--mode", default="train",
-                        choices=["train", "val", "test", "check", "calibrate"])
+                        choices=["train", "val", "test", "check", "calibrate",
+                                 "analyze"])
+    parser.add_argument("--h5", default="",
+                        help="analyze mode: saved val_*.h5 eval artifacts")
     parser.add_argument("--set", dest="sets", default=None,
                         help="overrides a.b:v;c.d:v")
+    parser.add_argument("--cfg_file", default=None,
+                        help="YAML update file merged over the -c preset "
+                             "(reference config/utils.py:87-146); -c may "
+                             "also be a .yaml path directly")
     parser.add_argument("--model_path", default="auto",
                         help="val mode: auto | best | <path>")
     parser.add_argument("--extra_ops", default="boundary-stat",
@@ -621,7 +670,7 @@ def main(argv=None):
     from .config import load_config
     from .utils import setup_logger
 
-    cfg = load_config(args.config, args.sets)
+    cfg = load_config(args.config, args.sets, cfg_file=args.cfg_file)
     exp_dir = args.exp_dir or os.path.join(
         cfg.save_path, cfg.data.dataset, cfg.name, time.strftime("Log_%m%d_%H%M%S")
     )
@@ -648,6 +697,8 @@ def main(argv=None):
         calibrate(cfg, logger)
     elif args.mode == "test":
         run_test(cfg, logger, exp_dir, args.model_path, args.out_dir)
+    elif args.mode == "analyze":
+        analyze(cfg, logger, args.h5, args.extra_ops)
     else:
         validate(cfg, logger, exp_dir, args.model_path, args.extra_ops,
                  protocol=args.protocol)

@@ -67,6 +67,10 @@ class ConvNetSeg(nn.Module):
     multi_sep_head: bool = False
     contrast_project: str = ""
     contrast_ftype: str = "latent"
+    # plain-head tower depth / latent dropout (reference mlp-head grammar
+    # '<depth>-xen-dp<p>', tensorflow/config/head.py:56-82)
+    mlp_depth: int = 1
+    mlp_drop: float = None  # type: ignore[assignment]
     in_features: str = "1-rgb-Z"  # assembled from points+colors (config in_features_dim=5)
     dtype: Dtype = jnp.float32
 
@@ -181,7 +185,13 @@ class ConvNetSeg(nn.Module):
                 dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:
-            y = self._conv1x1(x, fdim, "seg_head", train)
+            y = x
+            for d in range(self.mlp_depth):
+                y = self._conv1x1(y, fdim, f"seg_head{d if d else ''}", train)
+            if self.mlp_drop:
+                y = nn.Dropout(
+                    self.mlp_drop, deterministic=not train, name="cls_drop"
+                )(y)
             logits = nn.Dense(
                 self.num_classes, use_bias=True, dtype=jnp.float32, name="cls"
             )(y)

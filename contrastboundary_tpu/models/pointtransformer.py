@@ -264,6 +264,12 @@ class PointTransformerSeg(nn.Module):
     multi_sep_head: bool = False
     contrast_project: str = ""
     contrast_ftype: str = "latent"
+    # plain-head (use_multihead=False) options from the reference mlp-head
+    # grammar '<depth>-xen-dp<p>' (tensorflow/config/head.py:56-82):
+    # latent-tower depth and dropout rate on the latent (applied at
+    # models/heads/head.py:273-274; needs an rngs={'dropout': ...} at train)
+    mlp_depth: int = 1
+    mlp_drop: Optional[float] = None
     # rematerialize transformer blocks in backward (the reference's
     # memory_saving_gradients monkey-patch, tensorflow/main.py:70-72)
     save_memory: bool = False
@@ -340,9 +346,14 @@ class PointTransformerSeg(nn.Module):
                 dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:
-            y = MLPTower((self.planes[0],), dtype=self.dtype, name="cls_tower")(
-                up_feats[0], train
-            )
+            y = MLPTower(
+                (self.planes[0],) * self.mlp_depth, dtype=self.dtype,
+                name="cls_tower",
+            )(up_feats[0], train)
+            if self.mlp_drop:
+                y = nn.Dropout(
+                    self.mlp_drop, deterministic=not train, name="cls_drop"
+                )(y)
             logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(y)
             latents = tuple()
             contrast_feats = tuple()

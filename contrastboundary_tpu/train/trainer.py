@@ -34,6 +34,15 @@ class TrainStepConfig:
     # 374-383 + mlp_head.pred :289-335)
     branch_loss: str = ""  # '' | 'loss' (U0 labels) | 'lossSub' (soft labels)
     branch_weight: float = 1.0
+    # main segmentation loss type/weight (plain mlp-head grammar
+    # '<depth>-<loss>-w<f>', tensorflow/config/head.py:56-82; loss dispatch
+    # at models/heads/head.py:197-244)
+    main_loss: str = "xen"  # xen | sigmoid | none
+    main_weight: float = 1.0
+    # latent dropout needs a PRNG stream (reference dropout at
+    # models/heads/head.py:273-274); harmless to thread when no Dropout
+    # module exists
+    has_dropout: bool = False
 
 
 def make_train_step(model, cfg: TrainStepConfig) -> Callable:
@@ -53,15 +62,28 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
             labels = _bg(labels, pyramid.order0)
 
         def loss_fn(params):
+            rngs = (
+                {"dropout": jax.random.fold_in(jax.random.PRNGKey(17), state.step)}
+                if cfg.has_dropout
+                else None
+            )
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 features,
                 pyramid,
                 train=True,
                 mutable=["batch_stats"],
+                rngs=rngs,
             )
-            ce = cross_entropy(out.logits, labels, cfg.ignore_label)
-            total = ce
+            if cfg.main_loss == "sigmoid":
+                from ..losses.segmentation import sigmoid_cross_entropy
+
+                ce = sigmoid_cross_entropy(out.logits, labels, cfg.ignore_label)
+            elif cfg.main_loss == "none":
+                ce = jnp.float32(0.0)
+            else:
+                ce = cross_entropy(out.logits, labels, cfg.ignore_label)
+            total = cfg.main_weight * ce
             metrics = {"ce": ce}
             if cfg.branch_loss and any(
                 sl is not None for sl in out.stage_logits

@@ -144,3 +144,44 @@ def test_stat_tables_match_numpy_rederivation(rng):
     # errors on bound and plain partition the total error only up to points
     # that are neither (invalid labels); here every point is valid
     assert st["err_bound_label"] + st["err_plain_label"] == err_total
+
+
+def test_offline_analyze_matches_inprocess(tmp_path, rng):
+    """--mode analyze reproduces the in-process boundary suite byte-for-byte
+    from the saved h5 (round-3 verdict missing #4; reference
+    solve_extra_ops_from_file, tensorflow/utils/tester.py:1077-1124)."""
+    import json
+    import logging
+
+    from contrastboundary_tpu.config import load_config
+    from contrastboundary_tpu.eval.boundary import save_eval_h5
+    from contrastboundary_tpu.main import analyze, run_boundary_suite
+
+    cfg = load_config("synthetic_tiny")
+    ncls = cfg.data.num_classes
+    clouds = []
+    for _ in range(2):
+        n = 500
+        coord = rng.rand(n, 3).astype(np.float32)
+        label = (coord[:, 0] * 3).astype(np.int64) % ncls
+        label[:5] = -1  # ignore rows must survive the round trip
+        prob = rng.rand(n, ncls).astype(np.float32)
+        prob /= prob.sum(-1, keepdims=True)
+        clouds.append({"coord": coord, "label": label, "prob": prob})
+    logger = logging.getLogger("test_analyze")
+    live = run_boundary_suite(cfg, clouds, logger, "boundary-stat")
+
+    h5 = str(tmp_path / "val_1.h5")
+    save_eval_h5(h5, clouds)
+    offline = analyze(cfg, logger, h5, "stat")
+
+    def canon(x):
+        return json.dumps(
+            x, sort_keys=True,
+            default=lambda v: v.tolist() if hasattr(v, "tolist") else v,
+        )
+
+    assert canon(offline["boundary"]) == canon(live["boundary"])
+    assert canon(offline["stat"]) == canon(live["stat"])
+    with pytest.raises(SystemExit):
+        analyze(cfg, logger, "", "stat")

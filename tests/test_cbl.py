@@ -412,3 +412,75 @@ def test_cbl_softnn_mask_raises(rng):
     cfg = ContrastConfig(contrast="softnn", mask_mode=True)
     with pytest.raises(ValueError):
         cbl_stage_loss(jnp.asarray(feats), idx, jnp.asarray(label_soft), cfg)
+
+
+def test_cbl_recurhard_golden(rng):
+    """'recurhard' re-hardens the label at every recursion hop — a numpy
+    re-derivation of TF get_scene_label_recursive at reduction='max'
+    (tensorflow/models/heads/head.py:51-81, 117-131, dispatch :524-527):
+    gather previous-stage one-hots over the pooling neighborhood, SUM,
+    argmax, re-one-hot. Deviation kept deliberately: all-ignored rows stay
+    all-zero (the reference argmaxes them to class 0); on inputs with no
+    ignored labels the two derivations coincide, which is what this golden
+    test pins. The per-stage loss must equal cbl_stage_loss fed the numpy
+    hard labels."""
+    import pytest
+
+    from contrastboundary_tpu.losses import cbl_loss
+    from contrastboundary_tpu.ops import PyramidSpec, build_pyramid
+
+    spec = PyramidSpec(
+        strides=(1, 4, 4), k_self=(8, 8, 8), k_down=(8, 8, 8),
+        k_contrast=(8, 8, 8), with_subscene=True, sampler="fps",
+    )
+    pts = rng.rand(1, 64, 3).astype(np.float32)
+    labels = (pts[..., 0] > 0.5).astype(np.int32) + (
+        pts[..., 1] > 0.5
+    ).astype(np.int32)  # 3 classes, no ignores
+    pyr = build_pyramid(jnp.asarray(pts), spec)
+    latents = tuple(
+        jnp.asarray(rng.randn(1, n, 6).astype(np.float32))
+        for n in (64, 16, 4)
+    )
+
+    # numpy re-derivation (reduction='max' per hop)
+    ncls = 3
+    lv = np.eye(ncls, dtype=np.float32)[labels[0]]  # [N, ncls]
+    hard_per_stage = [lv]
+    for l in (1, 2):
+        idx = np.asarray(pyr.down_idx[l][0])  # [M, k], shadow == N_prev
+        n_prev = lv.shape[0]
+        padded = np.concatenate([lv, np.zeros((1, ncls), np.float32)], 0)
+        s = padded[np.clip(idx, 0, n_prev)].sum(axis=1)  # [M, ncls]
+        hard = np.eye(ncls, dtype=np.float32)[s.argmax(-1)]
+        hard *= (s.sum(-1, keepdims=True) > 0)
+        hard_per_stage.append(hard)
+        lv = hard
+
+    cfg = ContrastConfig(stages=(0, 1, 2), label_infer="recurhard")
+    total, per = cbl_loss(latents, pyr, jnp.asarray(labels), ncls, cfg)
+    assert np.isfinite(float(total))
+    base = ContrastConfig(stages=(0, 1, 2))
+    for i in (1, 2):
+        want = float(
+            cbl_stage_loss(
+                latents[i], pyr.contrast_idx[i],
+                jnp.asarray(hard_per_stage[i][None]), base,
+            )
+        )
+        assert float(per[f"cbl_stage{i}"]) == pytest.approx(want, rel=1e-5), i
+    # recurhard differs from soft recur at depth (hardening loses mass)
+    cfg_soft = ContrastConfig(stages=(0, 1, 2), label_infer="recur")
+    _, per_soft = cbl_loss(latents, pyr, jnp.asarray(labels), ncls, cfg_soft)
+    assert float(per["cbl_stage2"]) != float(per_soft["cbl_stage2"])
+
+    # DSL: published spellings select the recursion variants
+    from contrastboundary_tpu.config.dsl import parse_contrast_ops
+
+    for tok, want_infer in [
+        ("label_recur", "recur"), ("label_recurhard", "recurhard"),
+        ("recur", "recur"), ("recurhard", "recurhard"),
+        ("label_nst", "nst"),
+    ]:
+        c = parse_contrast_ops(f"contrast-Ua-softnn-latent-{tok}-l2-w.1")
+        assert c.label_infer == want_infer, tok

@@ -51,9 +51,9 @@ PUBLISHED_OP_STRINGS = [
 
 def test_dsl_round_trip_published_op_strings():
     for s in PUBLISHED_OP_STRINGS:
-        # 'label_nst' appears underscore-joined in reference names; our
-        # grammar takes it as two tokens
-        heads = parse_arch_out(s.replace("label_nst", "label-nst"))
+        # 'label_nst' / 'label_recur*' keep their published underscore-joined
+        # spelling (tensorflow/config/head.py:124-126)
+        heads = parse_arch_out(s)
         assert "multi" in heads and "contrast" in heads, s
         c = heads["contrast"]
         assert c.contrast == "softnn" and c.dist == "l2"
@@ -309,3 +309,132 @@ def test_sep_head_dsl_token():
     m = parse_multi_ops("multi-Ua-concat-latent-sep")
     assert m["sep_head"] is True
     assert parse_multi_ops("multi-Ua-concat-latent")["sep_head"] is False
+
+
+# ---------------------------------------------------------------------------
+# plain mlp-head grammar (round-3 verdict missing #1): depth, dropout,
+# sigmoid/none losses, weights — tensorflow/config/head.py:56-82, dropout
+# applied at models/heads/head.py:273-274
+# ---------------------------------------------------------------------------
+
+
+def test_mlp_head_grammar():
+    from contrastboundary_tpu.config.dsl import parse_mlp_ops
+
+    d = parse_mlp_ops("2-xen-dp.5")
+    assert d == {"depth": 2, "loss": "xen", "drop": 0.5, "weight": 1.0}
+    d = parse_mlp_ops("mlp-3-sigmoid-w.2")
+    assert d["depth"] == 3 and d["loss"] == "sigmoid"
+    assert d["weight"] == pytest.approx(0.2) and d["drop"] is None
+    assert parse_mlp_ops("1-none")["loss"] == "none"
+    assert parse_mlp_ops("1-xen-dp0.3")["drop"] == pytest.approx(0.3)
+    assert parse_mlp_ops("1-xen-pred")["loss"] == "xen"  # 'pred' ignored
+    # 'class'/'center' re-weighting is unwired — loud failure, not silence
+    with pytest.raises(NotImplementedError):
+        parse_mlp_ops("2-xen-class")
+    with pytest.raises(ValueError):
+        parse_mlp_ops("2-xen-banana")
+    heads = parse_arch_out("pospool|2-xen-dp.5")
+    assert heads["mlp"]["depth"] == 2 and heads["backbone"] == "pospool"
+
+
+def test_mlp_head_model_wiring(rng):
+    """'2-xen-dp.5' → a 2-layer latent tower with dropout: param tree has
+    fc0+fc1, dropout is stochastic across rngs at train and off at eval."""
+    pts = rng.rand(1, 64, 3).astype(np.float32)
+    feats = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    pyr = build_pyramid(jnp.asarray(pts), SPEC)
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, use_multihead=False, mlp_depth=2, mlp_drop=0.5,
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, feats, pyr, train=True)
+    tower = variables["params"]["cls_tower"]
+    assert "fc0" in tower and "fc1" in tower  # depth 2
+    shallow = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, use_multihead=False,
+    ).init(rngs, feats, pyr, train=True)
+    assert "fc1" not in shallow["params"]["cls_tower"]
+
+    def fwd(key):
+        out, _ = model.apply(
+            variables, feats, pyr, train=True, mutable=["batch_stats"],
+            rngs={"dropout": key},
+        )
+        return np.asarray(out.logits)
+
+    a, b = fwd(jax.random.PRNGKey(2)), fwd(jax.random.PRNGKey(3))
+    assert not np.allclose(a, b)  # dropout active at train
+    e1 = model.apply(variables, feats, pyr, train=False)
+    e2 = model.apply(variables, feats, pyr, train=False)
+    assert np.allclose(np.asarray(e1.logits), np.asarray(e2.logits))
+
+
+def test_mlp_head_losses_and_config_guard(rng):
+    from contrastboundary_tpu.config.base import load_config
+    from contrastboundary_tpu.losses.segmentation import sigmoid_cross_entropy
+
+    # sigmoid BCE: matches a manual computation, masks ignore rows
+    logits = jnp.asarray(rng.randn(2, 7, 1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 2, (2, 7)).astype(np.int32))
+    labels = labels.at[0, 0].set(-1)
+    got = float(sigmoid_cross_entropy(logits, labels))
+    x = np.asarray(logits)[..., 0]
+    y = np.asarray(labels).astype(np.float64)
+    valid = y >= 0
+    bce = np.maximum(x, 0) - x * np.where(valid, y, 0) + np.log1p(
+        np.exp(-np.abs(x))
+    )
+    assert got == pytest.approx(bce[valid].mean(), rel=1e-5)
+    with pytest.raises(ValueError, match="1 channel"):
+        sigmoid_cross_entropy(jnp.zeros((2, 7, 13)), labels)
+    # a config selecting both heads fails loudly at build time
+    cfg = load_config(
+        "synthetic_tiny",
+        sets='arch_out:"multi-Ua-concat-latent|2-xen"',
+    )
+    with pytest.raises(ValueError, match="exactly one prediction path"):
+        cfg.build_model()
+
+
+def test_mlp_head_train_step_weight_and_dropout(rng):
+    """main_weight scales the total loss; the train step threads the
+    dropout rng (reference mlp_head.pred weighting, head.py:318-335)."""
+    from contrastboundary_tpu.train import (
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from contrastboundary_tpu.train.state import make_optimizer
+
+    pts = rng.rand(1, 64, 3).astype(np.float32)
+    batch = {
+        "points": jnp.asarray(pts),
+        "features": jnp.asarray(rng.rand(1, 64, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 5, (1, 64)).astype(np.int32)),
+    }
+    model = PointTransformerSeg(
+        num_classes=5, planes=(8, 16, 32), blocks=(2, 2, 2), share_planes=4,
+        base_fdim=8, use_multihead=False, mlp_drop=0.5,
+    )
+    pyr = build_pyramid(batch["points"], SPEC)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["features"], pyr, train=True,
+    )
+    spec = SPEC
+    results = {}
+    for w in (1.0, 0.25):
+        cfg = TrainStepConfig(
+            num_classes=5, spec=spec, main_weight=w, has_dropout=True,
+        )
+        # the train step donates the state — give each arm fresh buffers
+        fresh = jax.tree_util.tree_map(jnp.array, variables)
+        state = create_train_state(fresh, make_optimizer(0.0))
+        step = make_train_step(model, cfg)
+        _, metrics = step(state, batch)
+        results[w] = (float(metrics["ce"]), float(metrics["loss"]))
+    assert results[1.0][0] == pytest.approx(results[0.25][0], rel=1e-5)
+    assert results[0.25][1] == pytest.approx(0.25 * results[0.25][0], rel=1e-5)
