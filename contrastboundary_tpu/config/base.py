@@ -66,6 +66,10 @@ class ModelConfig:
     # 'tile': tile-local CBL gathers under the NATURAL layout (sorts the
     # contrast stages on the fly; implied for every stage under 'sorted')
     contrast_mode: str = "dense"  # dense | tile
+    # BN semantics: 'batch' = exact nn.BatchNorm (reference parity);
+    # 'stale' = normalize with running stats + update from batch stats
+    # (fold-friendly fast path; models/blocks.py::StaleBatchNorm)
+    bn_mode: str = "batch"
     # tile-window half-widths (sorted layout) and the approx-top-k recall
     # target (0 → exact lax.top_k; cheap within tile windows)
     self_window: int = 1
@@ -208,6 +212,7 @@ class Config:
             use_multihead=self.use_multihead,
             mlp_depth=mlp.get("depth", 1),
             mlp_drop=mlp.get("drop"),
+            bn_mode=self.model.bn_mode,
             multi_combine=multi.get("combine", "concat"),
             multi_stages=multi.get("stages"),
             multi_ftype=multi.get("ftype", "latent"),

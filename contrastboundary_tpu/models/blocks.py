@@ -25,6 +25,134 @@ from ..core.gather import batch_gather
 Dtype = Any
 
 
+class StaleBatchNorm(nn.Module):
+    """BatchNorm that NORMALIZES with the running statistics (one momentum
+    step stale) while still UPDATING them from the current batch statistics.
+
+    Rationale (PERF.md round 4): with batch-stat BN the normalization
+    coefficients depend on a reduction over the live [B, N, K, C] tensor, so
+    nothing upstream can be folded; with stale stats the scale/shift is a
+    per-channel affine KNOWN BEFORE THE STEP — XLA folds it into the
+    adjacent matmuls and a fused attention kernel needs no stats pass (the
+    batch stats for the update fall out of the main pass for free). Batch
+    stats are computed under stop_gradient (the backward never differentiates
+    through the reduction), and under a data-sharded jit the reduction spans
+    the global batch (sync-BN), same as nn.BatchNorm.
+
+    Training-dynamics deviation from the reference's standard BN
+    (normalize-by-batch-stats): the fast presets may opt in via
+    ModelConfig.bn_mode='stale'; `*_paper` semantics keep nn.BatchNorm.
+    At eval (use_running_average=True) the two are identical.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        mean, var = ra_mean.value, ra_var.value  # pre-update (stale) stats
+        if not self.use_running_average and not self.is_initializing():
+            axes = tuple(range(x.ndim - 1))
+            xf = jax.lax.stop_gradient(x.astype(jnp.float32))
+            b_mean = jnp.mean(xf, axes)
+            b_var = jnp.maximum(jnp.mean(xf * xf, axes) - b_mean * b_mean, 0.0)
+            m = self.momentum
+            ra_mean.value = m * mean + (1.0 - m) * b_mean
+            ra_var.value = m * var + (1.0 - m) * b_var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+        return y.astype(self.dtype)
+
+
+def make_bn(mode: str, train: bool, name: Optional[str] = None,
+            momentum: float = 0.9, epsilon: float = 1e-5):
+    """BN factory shared by every block: mode 'batch' = exact nn.BatchNorm
+    (reference semantics), 'stale' = StaleBatchNorm (fold-friendly)."""
+    if mode == "stale":
+        # pin the auto-name to nn.BatchNorm's so the param tree is identical
+        # across bn_mode values (checkpoints stay interchangeable)
+        return StaleBatchNorm(
+            use_running_average=not train, momentum=momentum, epsilon=epsilon,
+            dtype=jnp.float32, name=name if name else "BatchNorm_0",
+        )
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=momentum, epsilon=epsilon,
+        dtype=jnp.float32, name=name,
+    )
+
+
+class _DenseParams(nn.Module):
+    """Declares exactly nn.Dense's parameter tree ({kernel, bias}) without
+    applying it — the fused attention kernel (ops/pallas/pt_attn.py) consumes
+    the raw arrays, and the tree stays checkpoint-compatible with the XLA
+    path's nn.Dense of the same name."""
+
+    features: int
+    in_features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
+class _BNFold(nn.Module):
+    """Declares exactly StaleBatchNorm's variable tree and exposes (a) the
+    folded per-channel affine (scale', shift') from the PRE-update running
+    stats and (b) an update from externally computed batch statistics (the
+    fused kernel emits them). Checkpoint-compatible with StaleBatchNorm /
+    nn.BatchNorm of the same name."""
+
+    feat: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.feat,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.feat,), jnp.float32
+        )
+        self.mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.feat,), jnp.float32)
+        )
+        self.var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.feat,), jnp.float32)
+        )
+
+    def fold(self):
+        s = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
+        return s, self.bias - self.mean.value * s
+
+    def update(self, b_mean, b_var):
+        if self.is_initializing():
+            return
+        m = self.momentum
+        b_mean = jax.lax.stop_gradient(b_mean)
+        b_var = jax.lax.stop_gradient(b_var)
+        self.mean.value = m * self.mean.value + (1.0 - m) * b_mean
+        self.var.value = m * self.var.value + (1.0 - m) * b_var
+
+
 class PointTransformerLayer(nn.Module):
     """Vector self-attention over k precomputed neighbors.
 
@@ -35,6 +163,7 @@ class PointTransformerLayer(nn.Module):
 
     out_planes: int
     share_planes: int = 8
+    bn_mode: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -42,14 +171,69 @@ class PointTransformerLayer(nn.Module):
         c = self.out_planes
         s = self.share_planes
         dense = lambda d, name: nn.Dense(d, dtype=self.dtype, name=name)
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name,
-        )
+        bn = lambda name: make_bn(self.bn_mode, train, name)
 
         q = dense(c, "linear_q")(x)
         k = dense(c, "linear_k")(x)
         v = dense(c, "linear_v")(x)
+
+        # fused attention kernel (ops/pallas/pt_attn.py): the whole inner
+        # loop per tile in VMEM. Needs tile-local indices + precomputed rel
+        # (sorted layout) and fold-friendly BN (bn_mode='stale'); probe-
+        # compiled once per shape with XLA fallback (PT_ATTN=auto|on|off).
+        use_kernel = False
+        if self.bn_mode == "stale" and local is not None and rel is not None:
+            from ..ops.pallas.pt_attn import pt_attn_ok
+
+            use_kernel = pt_attn_ok(
+                local[0], local[1], nb_idx.shape[-1], c, s, self.dtype
+            )
+        if use_kernel:
+            import os
+
+            from ..ops.pallas.pt_attn import pt_attn
+
+            interp = os.environ.get("PT_ATTN") == "interpret"
+            tile_l, width_l = local
+            window_l = (width_l - 1) // 2  # matches tile_gather.window_starts
+            w1, b1 = _DenseParams(3, 3, name="p_fc1")()
+            p_bn = _BNFold(3, name="p_bn")
+            sp, hp = p_bn.fold()
+            w2, b2 = _DenseParams(c, 3, name="p_fc2")()
+            bn1 = _BNFold(c, name="w_bn1")
+            g1, h1 = bn1.fold()
+            w3, b3 = _DenseParams(c // s, c, name="w_fc1")()
+            bn2 = _BNFold(c // s, name="w_bn2")
+            g2, h2 = bn2.fold()
+            w4, b4 = _DenseParams(c // s, c // s, name="w_fc2")()
+            kv = jnp.concatenate([k, v], axis=-1)
+            relf = rel.astype(jnp.float32)
+            out, (s1m, s1q), (s2m, s2q) = pt_attn(
+                q, kv, relf, nb_idx, tile_l, width_l, window_l, s, interp,
+                w1 * sp[None, :], (b1 * sp + hp)[None, :],
+                w2, b2[None, :], g1[None, :], h1[None, :],
+                w3, b3[None, :], g2[None, :], h2[None, :],
+                w4, b4[None, :],
+            )
+            if train:
+                # running-stat updates: bn1/bn2 stats fall out of the kernel;
+                # p_bn's input is an affine of rel, so its batch stats are
+                # exact algebra over rel's first two moments (no extra pass)
+                bn1.update(s1m, jnp.maximum(s1q - s1m * s1m, 0.0))
+                bn2.update(s2m, jnp.maximum(s2q - s2m * s2m, 0.0))
+                rf = jax.lax.stop_gradient(relf).reshape(-1, 3)
+                mean_rel = jnp.mean(rf, axis=0)
+                m2 = rf.T @ rf / rf.shape[0]
+                pe1_mean = mean_rel @ w1 + b1
+                pe1_sq = (
+                    jnp.einsum("ij,ik,kj->j", w1, m2, w1)
+                    + 2.0 * b1 * (mean_rel @ w1)
+                    + b1 * b1
+                )
+                p_bn.update(
+                    pe1_mean, jnp.maximum(pe1_sq - pe1_mean * pe1_mean, 0.0)
+                )
+            return out
 
         # single fused neighbor gather: TPU gathers are row-bound (~8.5ns /
         # row regardless of width ≤128 lanes), so one [2c]-wide gather costs
@@ -109,6 +293,7 @@ class TransitionDown(nn.Module):
 
     out_planes: int
     stride: int = 1
+    bn_mode: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -117,10 +302,7 @@ class TransitionDown(nn.Module):
         rel=None,
     ):
         dense = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)
-        bn = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32,
-        )
+        bn = make_bn(self.bn_mode, train)  # auto-named, keeps old param trees
         if self.stride == 1:
             return nn.relu(bn(dense(x_prev)))
 
@@ -142,6 +324,7 @@ class TransitionUp(nn.Module):
 
     out_planes: int
     is_head: bool = False
+    bn_mode: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,10 +333,7 @@ class TransitionUp(nn.Module):
             def f(y):
                 y = nn.Dense(d, dtype=self.dtype, name=f"{name}_fc")(y)
                 if with_bn:
-                    y = nn.BatchNorm(
-                        use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                        dtype=jnp.float32, name=f"{name}_bn",
-                    )(y)
+                    y = make_bn(self.bn_mode, train, f"{name}_bn")(y)
                 return nn.relu(y) if act else y
             return f
 
@@ -178,19 +358,18 @@ class PointTransformerBlock(nn.Module):
 
     planes: int
     share_planes: int = 8
+    bn_mode: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, p, x, nb_idx, train: bool = True, rel=None, local=None):
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name,
-        )
+        bn = lambda name: make_bn(self.bn_mode, train, name)
         identity = x
         y = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear1")(x)
         y = nn.relu(bn("bn1")(y))
         y = PointTransformerLayer(
-            self.planes, self.share_planes, dtype=self.dtype, name="transformer2"
+            self.planes, self.share_planes, bn_mode=self.bn_mode,
+            dtype=self.dtype, name="transformer2"
         )(p, y, nb_idx, train, rel=rel, local=local)
         y = nn.relu(bn("bn2")(y))
         y = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear3")(y)
@@ -206,6 +385,7 @@ class MLPTower(nn.Module):
 
     dims: Sequence[int]
     final_linear: bool = False
+    bn_mode: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -214,9 +394,6 @@ class MLPTower(nn.Module):
             last = i == len(self.dims) - 1
             x = nn.Dense(d, dtype=self.dtype, name=f"fc{i}")(x)
             if not (last and self.final_linear):
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=jnp.float32, name=f"bn{i}",
-                )(x)
+                x = make_bn(self.bn_mode, train, f"bn{i}")(x)
                 x = nn.relu(x)
         return x

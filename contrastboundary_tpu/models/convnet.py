@@ -71,14 +71,18 @@ class ConvNetSeg(nn.Module):
     # '<depth>-xen-dp<p>', tensorflow/config/head.py:56-82)
     mlp_depth: int = 1
     mlp_drop: float = None  # type: ignore[assignment]
+    # 'batch' (exact nn.BatchNorm) | 'stale' (fold-friendly; blocks.py)
+    bn_mode: str = "batch"
     in_features: str = "1-rgb-Z"  # assembled from points+colors (config in_features_dim=5)
     dtype: Dtype = jnp.float32
 
     def _conv1x1(self, x, d, name, train, act=True):
+        from .blocks import make_bn
+
         x = nn.Dense(d, use_bias=False, dtype=self.dtype, name=f"{name}_fc")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.bn_momentum,
-            epsilon=self.bn_eps, dtype=jnp.float32, name=f"{name}_bn",
+        x = make_bn(
+            self.bn_mode, train, f"{name}_bn", momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
         )(x)
         return nn.relu(x) if act else x
 

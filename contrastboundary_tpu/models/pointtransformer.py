@@ -96,6 +96,7 @@ class MultiHead(nn.Module):
     branch_loss: str = ""
     condition: str = ""
     sep_head: bool = False
+    bn_mode: str = "batch"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -106,9 +107,9 @@ class MultiHead(nn.Module):
 
         latents: list = [None] * nl
         for i in stages:
-            latents[i] = MLPTower((d,), dtype=self.dtype, name=f"latent{i}")(
-                up_feats[i], train
-            )
+            latents[i] = MLPTower(
+                (d,), bn_mode=self.bn_mode, dtype=self.dtype, name=f"latent{i}"
+            )(up_feats[i], train)
 
         if self.condition:
             import re as _re
@@ -170,7 +171,8 @@ class MultiHead(nn.Module):
         if self.sep_head:
             for i in stages:
                 sep_latents[i] = MLPTower(
-                    (d,), dtype=self.dtype, name=f"sep_latent{i}"
+                    (d,), bn_mode=self.bn_mode, dtype=self.dtype,
+                    name=f"sep_latent{i}"
                 )(up_feats[i], train)
                 if self.contrast_ftype in ("logits", "probs"):
                     sep_logits[i] = nn.Dense(
@@ -197,13 +199,15 @@ class MultiHead(nn.Module):
             if self.project == "linear":
                 feat = nn.Dense(d, dtype=self.dtype, name=f"project{i}")(feat)
             elif self.project == "mlp":
-                feat = MLPTower((d,), dtype=self.dtype, name=f"project{i}")(
-                    feat, train
-                )
+                feat = MLPTower(
+                    (d,), bn_mode=self.bn_mode, dtype=self.dtype,
+                    name=f"project{i}"
+                )(feat, train)
             elif self.project == "mlp2":
-                feat = MLPTower((d, d), dtype=self.dtype, name=f"project{i}")(
-                    feat, train
-                )
+                feat = MLPTower(
+                    (d, d), bn_mode=self.bn_mode, dtype=self.dtype,
+                    name=f"project{i}"
+                )(feat, train)
             contrast_feats[i] = feat
 
         collected = [
@@ -235,11 +239,10 @@ class MultiHead(nn.Module):
                 )(x)
         else:
             if self.combine.endswith("mlp"):
+                from .blocks import make_bn
+
                 x = nn.Dense(d, dtype=self.dtype, name="cls_fc")(x)
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=jnp.float32, name="cls_bn",
-                )(x)
+                x = make_bn(self.bn_mode, train, "cls_bn")(x)
                 x = nn.relu(x)
             logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(x)
         return logits, tuple(latents), tuple(contrast_feats), tuple(stage_logits)
@@ -270,6 +273,10 @@ class PointTransformerSeg(nn.Module):
     # models/heads/head.py:273-274; needs an rngs={'dropout': ...} at train)
     mlp_depth: int = 1
     mlp_drop: Optional[float] = None
+    # BN semantics: 'batch' = exact nn.BatchNorm (reference parity);
+    # 'stale' = StaleBatchNorm (normalize with running stats, fold-friendly —
+    # see blocks.py and PERF.md round 4)
+    bn_mode: str = "batch"
     # rematerialize transformer blocks in backward (the reference's
     # memory_saving_gradients monkey-patch, tensorflow/main.py:70-72)
     save_memory: bool = False
@@ -295,19 +302,21 @@ class PointTransformerSeg(nn.Module):
             p = pyramid.points[l]
             if l == 0:
                 x = TransitionDown(
-                    self.planes[0], stride=1, dtype=self.dtype, name="enc0_down"
+                    self.planes[0], stride=1, bn_mode=self.bn_mode,
+                    dtype=self.dtype, name="enc0_down"
                 )(p, x, train=train)
             else:
                 x = TransitionDown(
-                    self.planes[l], stride=4, dtype=self.dtype, name=f"enc{l}_down"
+                    self.planes[l], stride=4, bn_mode=self.bn_mode,
+                    dtype=self.dtype, name=f"enc{l}_down"
                 )(
                     pyramid.points[l - 1], x, p, pyramid.down_idx[l], train=train,
                     rel=pyramid.down_rel[l],
                 )
             for b in range(1, self.blocks[l]):
                 x = Block(
-                    self.planes[l], self.share_planes, dtype=self.dtype,
-                    name=f"enc{l}_blk{b}",
+                    self.planes[l], self.share_planes, bn_mode=self.bn_mode,
+                    dtype=self.dtype, name=f"enc{l}_blk{b}",
                 )(p, x, pyramid.self_idx[l], train, pyramid.self_rel[l],
                   loc(l))
             down_feats.append(x)
@@ -315,22 +324,26 @@ class PointTransformerSeg(nn.Module):
         # ---- decoder ----
         up_feats: list = [None] * num_levels
         x = TransitionUp(
-            self.planes[-1], is_head=True, dtype=self.dtype, name=f"dec{num_levels-1}_up"
+            self.planes[-1], is_head=True, bn_mode=self.bn_mode,
+            dtype=self.dtype, name=f"dec{num_levels-1}_up"
         )(down_feats[-1], train=train)
         x = Block(
-            self.planes[-1], self.share_planes, dtype=self.dtype,
-            name=f"dec{num_levels-1}_blk",
+            self.planes[-1], self.share_planes, bn_mode=self.bn_mode,
+            dtype=self.dtype, name=f"dec{num_levels-1}_blk",
         )(pyramid.points[-1], x, pyramid.self_idx[-1], train,
           pyramid.self_rel[-1], loc(num_levels - 1))
         up_feats[-1] = x
 
         for l in range(num_levels - 2, -1, -1):
-            x = TransitionUp(self.planes[l], dtype=self.dtype, name=f"dec{l}_up")(
+            x = TransitionUp(
+                self.planes[l], bn_mode=self.bn_mode, dtype=self.dtype,
+                name=f"dec{l}_up"
+            )(
                 down_feats[l], x, pyramid.up_idx[l + 1], pyramid.up_w[l + 1], train=train
             )
             x = Block(
-                self.planes[l], self.share_planes, dtype=self.dtype,
-                name=f"dec{l}_blk",
+                self.planes[l], self.share_planes, bn_mode=self.bn_mode,
+                dtype=self.dtype, name=f"dec{l}_blk",
             )(pyramid.points[l], x, pyramid.self_idx[l], train,
               pyramid.self_rel[l], loc(l))
             up_feats[l] = x
@@ -343,12 +356,13 @@ class PointTransformerSeg(nn.Module):
                 branch_loss=self.multi_branch_loss,
                 condition=self.multi_condition,
                 sep_head=self.multi_sep_head,
+                bn_mode=self.bn_mode,
                 dtype=self.dtype, name="multihead",
             )(tuple(up_feats), pyramid, train)
         else:
             y = MLPTower(
-                (self.planes[0],) * self.mlp_depth, dtype=self.dtype,
-                name="cls_tower",
+                (self.planes[0],) * self.mlp_depth, bn_mode=self.bn_mode,
+                dtype=self.dtype, name="cls_tower",
             )(up_feats[0], train)
             if self.mlp_drop:
                 y = nn.Dropout(

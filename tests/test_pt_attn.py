@@ -1,0 +1,180 @@
+"""Fused point-transformer attention kernel (ops/pallas/pt_attn.py):
+interpret-mode parity of forward / stats / analytic VJP against a pure-JAX
+re-derivation, plus module-level parity against the XLA PointTransformerLayer
+path under bn_mode='stale'."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from contrastboundary_tpu.ops.pallas.pt_attn import (
+    pt_attn,
+    pt_attn_reference,
+)
+
+TILE, WIDTH, WINDOW, K, C, S = 8, 3, 1, 4, 16, 4
+G = 4
+M = G * TILE
+W = TILE * WIDTH
+
+
+def _params(rng, c=C, cs=C // S):
+    def a(shape, off=0.0):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.3 + off)
+
+    return (
+        a((3, 3)), a((1, 3)), a((3, c)), a((1, c)),
+        a((1, c), 1.0), a((1, c)),
+        a((c, cs)), a((1, cs)), a((1, cs), 1.0), a((1, cs)),
+        a((cs, cs)), a((1, cs)),
+    )
+
+
+def _inputs(rng, with_shadow=False, dtype=jnp.float32):
+    q = jnp.asarray(rng.randn(2, M, C).astype(np.float32), dtype)
+    kv = jnp.asarray(rng.randn(2, M, 2 * C).astype(np.float32), dtype)
+    rel = jnp.asarray(rng.randn(2, M, K, 3).astype(np.float32))
+    li = rng.randint(0, W, (2, M, K)).astype(np.int32)
+    # slot 0 = self (ensure_self invariant) so a row never goes all-shadow
+    starts = np.clip(np.arange(G) - WINDOW, 0, G - WIDTH)
+    self_pos = np.arange(M) - np.repeat(starts * TILE, TILE)
+    li[:, :, 0] = self_pos[None]
+    if with_shadow:
+        li[:, ::3, -1] = W  # sprinkle shadow indices
+    return q, kv, rel, jnp.asarray(li)
+
+
+def test_fwd_matches_reference(rng):
+    q, kv, rel, li = _inputs(rng, with_shadow=True)
+    params = _params(rng)
+    out, s1, s2 = pt_attn(
+        q, kv, rel, li, TILE, WIDTH, WINDOW, S, True, *params
+    )
+    ref_out, ref_s1, ref_s2 = pt_attn_reference(
+        q, kv, rel, li, params, TILE, WIDTH, S
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5
+    )
+    for got, want in [(s1[0], ref_s1[0]), (s1[1], ref_s1[1]),
+                      (s2[0], ref_s2[0]), (s2[1], ref_s2[1])]:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_vjp_matches_reference(rng):
+    q, kv, rel, li = _inputs(rng, with_shadow=True)
+    params = _params(rng)
+    gref = jnp.asarray(rng.randn(2, M, C).astype(np.float32))
+
+    def loss_kernel(q_, kv_, *ps):
+        out, _, _ = pt_attn(q_, kv_, rel, li, TILE, WIDTH, WINDOW, S, True,
+                            *ps)
+        return jnp.sum(out * gref)
+
+    def loss_ref(q_, kv_, *ps):
+        out, _, _ = pt_attn_reference(q_, kv_, rel, li, ps, TILE, WIDTH, S)
+        return jnp.sum(out * gref)
+
+    argnums = tuple(range(2 + len(params)))
+    gk = jax.grad(loss_kernel, argnums)(q, kv, *params)
+    gr = jax.grad(loss_ref, argnums)(q, kv, *params)
+    names = ["q", "kv"] + [f"p{i}" for i in range(len(params))]
+    for n, a, b in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad mismatch for {n}",
+        )
+
+
+def test_module_kernel_path_matches_xla(rng, monkeypatch):
+    """PointTransformerLayer with PT_ATTN=interpret must reproduce the XLA
+    stale-BN path: same outputs, same batch_stats updates, same param tree."""
+    from contrastboundary_tpu.models.blocks import PointTransformerLayer
+
+    monkeypatch.setenv("PT_ATTN", "interpret")
+    p = jnp.asarray(rng.rand(2, M, 3).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, M, C).astype(np.float32))
+    rel = jnp.asarray(rng.randn(2, M, K, 3).astype(np.float32) * 0.1)
+    _, _, _, li = _inputs(rng, with_shadow=True)
+    layer = PointTransformerLayer(C, S, bn_mode="stale")
+
+    v_kernel = layer.init(
+        jax.random.PRNGKey(0), p, x, li, True, rel, (TILE, WIDTH)
+    )
+    out_k, mut_k = layer.apply(
+        v_kernel, p, x, li, True, rel, (TILE, WIDTH),
+        mutable=["batch_stats"],
+    )
+
+    monkeypatch.setenv("PT_ATTN", "off")
+    v_xla = layer.init(
+        jax.random.PRNGKey(0), p, x, li, True, rel, (TILE, WIDTH)
+    )
+    ks = lambda t: set(jax.tree_util.tree_leaves_with_path(t) and [
+        jax.tree_util.keystr(kp) for kp, _ in
+        jax.tree_util.tree_leaves_with_path(t)
+    ])
+    assert ks(v_kernel) == ks(v_xla)  # checkpoint-compatible trees
+    out_x, mut_x = layer.apply(
+        {"params": v_kernel["params"],
+         "batch_stats": v_kernel["batch_stats"]},
+        p, x, li, True, rel, (TILE, WIDTH), mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_x), rtol=2e-4, atol=2e-4
+    )
+    flat_k = {
+        jax.tree_util.keystr(kp): v
+        for kp, v in jax.tree_util.tree_leaves_with_path(mut_k)
+    }
+    flat_x = {
+        jax.tree_util.keystr(kp): v
+        for kp, v in jax.tree_util.tree_leaves_with_path(mut_x)
+    }
+    assert flat_k.keys() == flat_x.keys()
+    for key in flat_k:
+        np.testing.assert_allclose(
+            np.asarray(flat_k[key]), np.asarray(flat_x[key]),
+            rtol=2e-4, atol=2e-4, err_msg=f"batch_stats mismatch at {key}",
+        )
+
+
+def test_module_kernel_grads_match_xla(rng, monkeypatch):
+    from contrastboundary_tpu.models.blocks import PointTransformerLayer
+
+    p = jnp.asarray(rng.rand(2, M, 3).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, M, C).astype(np.float32))
+    rel = jnp.asarray(rng.randn(2, M, K, 3).astype(np.float32) * 0.1)
+    _, _, _, li = _inputs(rng)
+    layer = PointTransformerLayer(C, S, bn_mode="stale")
+    monkeypatch.setenv("PT_ATTN", "interpret")
+    variables = layer.init(
+        jax.random.PRNGKey(0), p, x, li, True, rel, (TILE, WIDTH)
+    )
+
+    def loss(params, env):
+        monkeypatch.setenv("PT_ATTN", env)
+        out, _ = layer.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            p, x, li, True, rel, (TILE, WIDTH), mutable=["batch_stats"],
+        )
+        return jnp.sum(out * out)
+
+    gk = jax.grad(lambda pr: loss(pr, "interpret"))(variables["params"])
+    gx = jax.grad(lambda pr: loss(pr, "off"))(variables["params"])
+    for kp, a in jax.tree_util.tree_leaves_with_path(gk):
+        b = flatget(gx, kp)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(kp)}",
+        )
+
+
+def flatget(tree, kp):
+    for k, v in jax.tree_util.tree_leaves_with_path(tree):
+        if k == kp:
+            return v
+    raise KeyError(kp)
