@@ -51,11 +51,35 @@ class CloudVoteState:
             * 1e-3
         )
 
-    def next_crop(self, n_points: int):
-        """Pick the min-potential point as center, crop its n_points nearest,
-        bump potentials with Tukey weights (1 − d²/r²)²."""
+    def next_crop(self, n_points: int, crop_mode: str = "count",
+                  in_radius: float = 2.0, rng=None):
+        """Pick the min-potential point as center, crop around it, bump
+        potentials with Tukey weights (1 − d²/r²)².
+
+        crop_mode 'count': the n_points nearest (PT-stack nearest-N crop);
+        'radius': every point inside an `in_radius` sphere, capped at
+        n_points by uniform choice keeping the center — the TF stack's val
+        generator (tensorflow/datasets/base.py:352-448, cap at :401-403).
+        Potentials bump over the WHOLE sphere either way."""
         center_i = int(np.argmin(self.potentials))
         n = len(self.coord)
+        if crop_mode == "radius":
+            idx = np.asarray(
+                self.tree.query_ball_point(self.coord[center_i], in_radius),
+                dtype=np.int64,
+            )
+            if idx.size == 0:
+                idx = np.array([center_i], np.int64)
+            d2 = np.square(self.coord[idx] - self.coord[center_i]).sum(-1)
+            r2 = in_radius * in_radius
+            self.potentials[idx] += np.square(1 - d2 / r2)
+            if len(idx) > n_points:
+                rng = rng or np.random.default_rng(center_i)
+                keep = rng.choice(len(idx), n_points - 1, replace=False)
+                idx = np.concatenate(
+                    [np.array([center_i], np.int64), idx[keep]]
+                )[:n_points]
+            return idx
         k = min(n_points, n)
         d, idx = self.tree.query(self.coord[center_i], k=k)
         d, idx = np.atleast_1d(d), np.atleast_1d(idx)
@@ -100,6 +124,8 @@ class VotingEvaluator:
         num_votes: float = 1.0,
         smooth: float = 0.95,
         seed: int = 0,
+        crop_mode: str = "count",
+        in_radius: float = 2.0,
     ):
         """predict_fn: batch dict {points, features} [B,N,...] → probs [B,N,C]."""
         self.dataset = dataset
@@ -111,6 +137,8 @@ class VotingEvaluator:
         self.num_votes = num_votes
         self.smooth = smooth
         self.seed = seed
+        self.crop_mode = crop_mode
+        self.in_radius = in_radius
 
         from ..data.pipeline import voxelize
 
@@ -159,7 +187,10 @@ class VotingEvaluator:
             crops = []
             for _ in range(self.batch_size):
                 c = pending[int(rng.integers(len(pending)))]
-                idx = c.next_crop(self.n_points)
+                idx = c.next_crop(
+                    self.n_points, crop_mode=self.crop_mode,
+                    in_radius=self.in_radius, rng=rng,
+                )
                 if len(idx) < self.n_points:
                     extra = rng.integers(0, len(idx), self.n_points - len(idx))
                     idx = np.concatenate([idx, idx[extra]])

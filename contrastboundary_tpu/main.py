@@ -180,6 +180,7 @@ def run_eval(
             batch_size=cfg.eval.batch_size, voxel_size=cfg.data.voxel_size,
             num_votes=num_votes if num_votes is not None else cfg.eval.num_votes,
             smooth=cfg.eval.smooth, seed=cfg.seed,
+            crop_mode=cfg.data.crop_mode, in_radius=cfg.data.in_radius,
         )
     ev = ctx["evaluator"]
     ev.predict_fn = predict
@@ -527,6 +528,7 @@ def run_test(cfg, logger, exp_dir: str, model_path: str, out_dir: str = ""):
         test_ds, predict, cfg.data.num_classes, cfg.data.n_points,
         batch_size=cfg.eval.batch_size, voxel_size=cfg.data.voxel_size,
         num_votes=cfg.eval.num_votes, smooth=0.98, seed=cfg.seed,
+        crop_mode=cfg.data.crop_mode, in_radius=cfg.data.in_radius,
     )
     ev.run(progress=lambda s, p: logger.info(f"  test vote step {s}, min_pot {p:.2f}"))
 
@@ -669,6 +671,11 @@ def main(argv=None):
 
     from .config import load_config
     from .utils import setup_logger
+    from .utils.cache import setup_compile_cache
+
+    # fingerprint-keyed persistent compile cache + TPU flags (scoped-VMEM
+    # limit for the fused attention kernel) — before the first device op
+    setup_compile_cache()
 
     cfg = load_config(args.config, args.sets, cfg_file=args.cfg_file)
     exp_dir = args.exp_dir or os.path.join(

@@ -584,6 +584,12 @@ def pt_attn_ok(tile: int, width: int, k: int, c: int, shares: int,
     mode = os.environ.get("PT_ATTN", "auto")
     if mode == "off":
         return False
+    # optional level allowlist by channel width, e.g. PT_ATTN_C="32,64":
+    # lets deployment (and the A/B harness) enable the kernel only at levels
+    # whose compiled form this toolchain's Mosaic helper accepts
+    allow_c = os.environ.get("PT_ATTN_C", "")
+    if allow_c and str(c) not in allow_c.split(","):
+        return False
     if mode == "interpret":  # test hook: dispatch with interpret=True
         return True
     if jax.default_backend() not in ("tpu", "axon"):
@@ -592,8 +598,18 @@ def pt_attn_ok(tile: int, width: int, k: int, c: int, shares: int,
     if key in _PROBED:
         return _PROBED[key]
 
+    # raise the scoped-VMEM limit if the backend isn't up yet (no-op after
+    # init — and then the probe measures the real env, which is the point)
+    from ...utils.cache import setup_tpu_flags
+
+    setup_tpu_flags()
+
     cs = c // shares
-    g = max(width, 2)
+    # g > width so the window index maps VARY across grid cells: a g == width
+    # probe has constant (hoistable) block indices and compiled fine while
+    # the real multi-tile grid hit a scoped-VMEM OOM (round 4) — the probe
+    # must reproduce the real pipelining to be a trustworthy fallback gate
+    g = width + 2
     m = g * tile
     rng = np.random.RandomState(0)
 

@@ -74,8 +74,13 @@ def build_arm(name, b, n):
     blocks_mod.PointTransformerLayer = (
         NoAttnLayer if name == "noattn" else _ORIG_LAYER
     )
-    os.environ["PT_ATTN"] = "auto" if name == "kernel" else "off"
-    bn_mode = "stale" if name in ("stale", "kernel") else "batch"
+    # arm "kernel" = all levels; "kernel32" / "kernel32+64" = only those C
+    is_kernel = name.startswith("kernel")
+    os.environ["PT_ATTN"] = "auto" if is_kernel else "off"
+    os.environ["PT_ATTN_C"] = (
+        name[len("kernel"):].replace("+", ",") if is_kernel else ""
+    )
+    bn_mode = "stale" if name == "stale" or is_kernel else "batch"
     contrast = None if name == "nocbl" else ContrastConfig()
     model = PointTransformerSeg(
         num_classes=13, dtype=jnp.bfloat16, bn_mode=bn_mode
@@ -94,7 +99,9 @@ def build_arm(name, b, n):
             out = None
             for _ in range(iters):
                 out = fn(batch["points"])
-            jax.block_until_ready(out)
+            # host READBACK, not block_until_ready: only a readback reliably
+            # synchronizes over the axon tunnel (PERF.md round 3)
+            np.asarray(out[0, 0])
 
         run(1)
         blocks_mod.PointTransformerLayer = _ORIG_LAYER
@@ -115,9 +122,10 @@ def build_arm(name, b, n):
 
     def run(iters):
         s = holder["state"]
+        m = None
         for _ in range(iters):
-            s, _ = step(s, batch)
-        jax.block_until_ready(s.params)
+            s, m = step(s, batch)
+        float(m["loss"])  # host readback = the only reliable axon sync
         holder["state"] = s
 
     run(1)  # compile + transfer sync
@@ -134,8 +142,15 @@ def main():
         runners = {}
         for a in arms:
             t0 = time.time()
-            runners[a] = build_arm(a, b, n)
+            try:
+                runners[a] = build_arm(a, b, n)
+            except Exception as e:
+                blocks_mod.PointTransformerLayer = _ORIG_LAYER
+                print(f"  FAILED {a}: {type(e).__name__}: {str(e)[:300]}",
+                      flush=True)
+                continue
             print(f"  built {a} ({time.time()-t0:.0f}s)", flush=True)
+        arms = [a for a in arms if a in runners]
         best = {a: float("inf") for a in arms}
         iters, rounds = 10, 4
         for r in range(rounds):
@@ -148,14 +163,11 @@ def main():
         print(f"  BEST {b}x{n}: " + " ".join(
             f"{a}={best[a]:.1f}ms" for a in arms
         ), flush=True)
-        base = best["base"]
-        print(
-            f"  deltas vs base: stale {base-best['stale']:+.1f} ms, "
-            f"attention stack {base-best['noattn']:+.1f} ms, "
-            f"CBL {base-best['nocbl']:+.1f} ms, "
-            f"pyramid {best['pyr']:.1f} ms",
-            flush=True,
-        )
+        if "base" in best:
+            base = best["base"]
+            print("  deltas vs base: " + " ".join(
+                f"{a} {base - best[a]:+.1f} ms" for a in arms if a != "base"
+            ), flush=True)
 
 
 if __name__ == "__main__":

@@ -158,16 +158,32 @@ def test_compile_cache_fingerprint(tmp_path):
         setup_compile_cache,
     )
 
+    import os
+
     fp = cache_fingerprint()
     assert len(fp) == 12 and all(c in "0123456789abcdef" for c in fp)
     assert cache_fingerprint() == fp  # deterministic within a toolchain
+    # the fingerprint keys on libtpu init flags too (round 4): a flag
+    # change must never replay a stale executable
+    env = dict(os.environ)
+    try:
+        os.environ["LIBTPU_INIT_ARGS"] = "--test_flag_xyz=1"
+        assert cache_fingerprint() != fp
+    finally:
+        os.environ.clear()
+        os.environ.update(env)
     old = jax.config.jax_compilation_cache_dir
     try:
         path = setup_compile_cache(str(tmp_path))
-        assert path.endswith(fp)
-        assert jax.config.jax_compilation_cache_dir == path
-        import os
-
-        assert os.path.isdir(path)
+        if jax.default_backend() in ("tpu", "axon"):
+            assert path.endswith(cache_fingerprint())
+            assert jax.config.jax_compilation_cache_dir == path
+            assert os.path.isdir(path)
+        else:
+            # the XLA:CPU persistent cache is poison in this deployment
+            # (AOT reload kills a device thread — round-1/2 dryrun bug):
+            # setup must refuse to enable it off-TPU
+            assert path == ""
+            assert jax.config.jax_compilation_cache_dir == old
     finally:
         jax.config.update("jax_compilation_cache_dir", old)

@@ -163,3 +163,49 @@ def test_voting_feature_accumulation_and_boundary_dist(rng):
     assert keys, list(r)
     for k in keys:
         assert np.isfinite(r[k]["pos"]) and np.isfinite(r[k]["neg"])
+
+
+def test_radius_crop_mode(rng):
+    """crop_mode='radius' crops in_radius spheres (TF val generator,
+    tensorflow/datasets/base.py:352-448): every crop point lies inside the
+    sphere, the cap keeps the center, and coverage still terminates."""
+    coord = (rng.rand(600, 3) * np.array([4.0, 4.0, 0.5])).astype(np.float32)
+    label = (coord[:, 0] > 2.0).astype(np.int32)
+
+    class Dummy:
+        num_rooms = 1
+
+        def room(self, r):
+            return coord, np.zeros_like(coord), label
+
+    seen = []
+
+    def predict(batch):
+        seen.append(batch["points"].copy())
+        return np.tile([0.9, 0.1], (*batch["points"].shape[:2], 1)).astype(
+            np.float32
+        )
+
+    ev = VotingEvaluator(
+        Dummy(), predict, 2, n_points=64, batch_size=1,
+        voxel_size=0.0, num_votes=0.5, smooth=0.5, seed=0,
+        crop_mode="radius", in_radius=1.0,
+    )
+    ev.run(max_steps=300)
+    cs = ev.clouds[0]
+    assert cs.min_potential() > 0.5  # full coverage reached
+    # every batch's points fit inside a diameter-2r ball (crop ⊆ sphere);
+    # _make_batch shifts to zero-min so the extent bounds the diameter
+    for pts in seen:
+        assert pts.max() <= 2.0 + 1e-5
+
+    # direct unit check: crop indices are within the sphere and the cap
+    # keeps the min-potential center point
+    cs2 = CloudVoteState(coord, coord, label, 2)
+    center_i = int(np.argmin(cs2.potentials))
+    idx = cs2.next_crop(16, crop_mode="radius", in_radius=0.8,
+                        rng=np.random.default_rng(0))
+    assert len(idx) <= 16
+    assert center_i in idx
+    d = np.linalg.norm(coord[idx] - coord[center_i], axis=-1)
+    assert (d <= 0.8 + 1e-6).all()
