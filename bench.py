@@ -50,7 +50,7 @@ def main():
     )
     from contrastboundary_tpu.train.state import make_optimizer
 
-    def measure(b, n, iters=10, rounds=4):
+    def measure_impl(b, n, iters=10, rounds=4):
         """Best-of-rounds step time for the flagship bf16 configuration."""
         spec = PyramidSpec(
             k_contrast=(36, 24, 24, 24, 24), with_subscene=True,
@@ -94,9 +94,44 @@ def main():
             t0 = time.time()
             for _ in range(iters):
                 state, metrics = train_step(state, batch)
-            jax.block_until_ready(state.params)
+            # host READBACK: block_until_ready does not reliably wait over
+            # the axon tunnel (PERF.md round 3/4)
+            _ = float(metrics["loss"])
             best = min(best, (time.time() - t0) / iters)
         return b * n / best
+
+    def measure(b, n, iters=10, rounds=4):
+        """measure_impl with a kernels-off retry: the Pallas window-top-k
+        probes gate per-instantiation, but the remote Mosaic helper has
+        500'd on a combined step module whose kernels all probe fine
+        individually (round 4, B=1 N=65536) — the bench must degrade to the
+        XLA paths rather than fail the driver run."""
+        import os
+        import sys as _sys
+
+        from contrastboundary_tpu.ops.knn import tile_cross_knn
+
+        # ladder: retry same config (the helper 500s are partly host-
+        # contention flakiness) → self kernels off (the deterministic 500
+        # class is self-mode; cross kernels are a measured win) → all off
+        ladder = (None, (), ("WIN_TOPK_SELF", "off"), ("WIN_TOPK", "off"))
+        for fallback in ladder:
+            if fallback is not None:
+                print(
+                    "bench: step compile failed with kernels; retrying"
+                    + (f" with {fallback[0]}={fallback[1]}" if fallback
+                       else " (same config)"),
+                    file=_sys.stderr, flush=True,
+                )
+                if fallback:
+                    os.environ[fallback[0]] = fallback[1]
+                build_pyramid.clear_cache()
+                tile_cross_knn.clear_cache()
+            try:
+                return measure_impl(b, n, iters, rounds)
+            except Exception:  # noqa: BLE001 — any compile failure
+                if fallback == ("WIN_TOPK", "off"):
+                    raise
 
     iters, rounds = 10, 4
     b, n = 4, 16384  # benchmark of record: 65,536 points per step per chip

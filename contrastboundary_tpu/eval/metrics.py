@@ -25,11 +25,18 @@ def confusion_matrix(
     valid = label != ignore_label
     l = jnp.where(valid, label, 0)
     p = jnp.clip(pred, 0, num_classes - 1)
-    flat = l.reshape(-1) * num_classes + p.reshape(-1)
+    # one-hot matmul instead of a scatter-add histogram: the [B·N]-element
+    # scatter costs ~0.6 ms/step at the flagship shape (round-4 profile)
+    # while the [C, B·N] × [B·N, C] contraction is ~22 MFLOP on the MXU
     w = valid.reshape(-1).astype(jnp.float32)
-    conf = jnp.zeros((num_classes * num_classes,), jnp.float32)
-    conf = conf.at[flat].add(w)
-    return conf.reshape(num_classes, num_classes)
+    cls = jnp.arange(num_classes, dtype=l.dtype)
+    oh_l = (l.reshape(-1)[:, None] == cls[None, :]).astype(jnp.float32)
+    oh_p = (p.reshape(-1)[:, None] == cls[None, :]).astype(jnp.float32)
+    return jnp.einsum(
+        "nc,nd->cd", oh_l * w[:, None], oh_p,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def metrics_from_confusion(

@@ -291,11 +291,11 @@ def train(cfg, logger, exp_dir: str):
     from .data import default_train_transform, make_batch_iterator
     from .eval.metrics import AverageMeter, metrics_from_confusion
     from .parallel import shard_batch
-    from .train import make_train_step
+    from .train import make_train_step_with_fallback
     from .train.checkpoint import CheckpointManager
 
     model, spec, step_cfg, state, mesh, train_ds, steps_per_epoch = setup(cfg, logger)
-    train_step = make_train_step(model, step_cfg)
+    train_step = make_train_step_with_fallback(model, step_cfg, logger)
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
     transform = default_train_transform()
     best_miou = -1.0

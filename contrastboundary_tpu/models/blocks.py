@@ -299,17 +299,36 @@ class TransitionDown(nn.Module):
     @nn.compact
     def __call__(
         self, p_prev, x_prev, p_cur=None, down_idx=None, train: bool = True,
-        rel=None,
+        rel=None, local=None,
     ):
         dense = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)
         bn = make_bn(self.bn_mode, train)  # auto-named, keeps old param trees
         if self.stride == 1:
             return nn.relu(bn(dense(x_prev)))
 
-        x_nb = batch_gather(x_prev, down_idx)  # [B, M, K, c]
-        if rel is None:
-            p_nb = batch_gather(p_prev, down_idx)
-            rel = p_nb - p_cur[:, :, None, :]
+        if local is not None:
+            # sorted layout (round 4): ONE fused [p_prev | x_prev] cross-
+            # window one-hot matmul gather (ops/tile_gather.py) replaces the
+            # row gather + its backward scatter-add, and shares the one-hot
+            # between the rel and feature gathers (`rel` is ignored — the
+            # pyramid's copy DCEs away when unused)
+            from ..ops.tile_gather import cross_window_gather
+
+            li, tile, width, window = local
+            fused = jnp.concatenate(
+                [p_prev.astype(x_prev.dtype), x_prev], axis=-1
+            )
+            nb = cross_window_gather(
+                fused, li, p_prev.shape[1], tile, width, window
+            )
+            rel = nb[..., :3] - p_cur[:, :, None, :].astype(nb.dtype)
+            rel = jnp.where((li < tile * width)[..., None], rel, 0.0)
+            x_nb = nb[..., 3:]
+        else:
+            x_nb = batch_gather(x_prev, down_idx)  # [B, M, K, c]
+            if rel is None:
+                p_nb = batch_gather(p_prev, down_idx)
+                rel = p_nb - p_cur[:, :, None, :]
         rel = rel.astype(self.dtype)
         g = jnp.concatenate([rel, x_nb], axis=-1)
         g = nn.relu(bn(dense(g)))
@@ -328,7 +347,8 @@ class TransitionUp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_skip, x_deep=None, up_idx=None, up_w=None, train: bool = True):
+    def __call__(self, x_skip, x_deep=None, up_idx=None, up_w=None,
+                 train: bool = True, local=None):
         def mlp(d, name, with_bn=True, act=True):
             def f(y):
                 y = nn.Dense(d, dtype=self.dtype, name=f"{name}_fc")(y)
@@ -347,7 +367,17 @@ class TransitionUp(nn.Module):
             return mlp(c, "linear1")(y)
 
         deep = mlp(c, "linear2")(x_deep)  # [B, M, c]
-        deep_up = batch_gather(deep, up_idx)  # [B, N, k_up, c]
+        if local is not None:
+            # sorted layout (round 4): cross-window one-hot matmul IDW
+            # gather — shadow rows are zeros, and their up_w is already 0
+            from ..ops.tile_gather import cross_window_gather
+
+            li, tile, width, window = local
+            deep_up = cross_window_gather(
+                deep, li, deep.shape[1], tile, width, window
+            )
+        else:
+            deep_up = batch_gather(deep, up_idx)  # [B, N, k_up, c]
         deep_up = jnp.sum(deep_up * up_w[..., None].astype(deep_up.dtype), axis=2)
         return mlp(c, "linear1")(x_skip) + deep_up
 

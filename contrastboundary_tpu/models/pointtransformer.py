@@ -210,10 +210,24 @@ class MultiHead(nn.Module):
                 )(feat, train)
             contrast_feats[i] = feat
 
+        def up0(feat, i):
+            """Stage-i features at every level-0 point. Sorted layout: the
+            nearest-point pick runs as a k=1 cross-window one-hot matmul
+            (round 4) instead of a full-resolution row gather."""
+            if pyramid.near0_meta and pyramid.near0_meta[i] is not None:
+                from ..ops.tile_gather import cross_window_gather
+
+                t, width, window = pyramid.near0_meta[i]
+                li = pyramid.near0_local[i][..., None]
+                return cross_window_gather(
+                    feat, li, feat.shape[1], t, width, window
+                )[..., 0, :]
+            return batch_gather(feat, pyramid.near0_idx[i])
+
         collected = [
             select(self.ftype, i)
             if i == 0
-            else batch_gather(select(self.ftype, i), pyramid.near0_idx[i])
+            else up0(select(self.ftype, i), i)
             for i in stages
         ]
         if self.combine == "sum":
@@ -292,6 +306,17 @@ class PointTransformerSeg(nn.Module):
         loc = lambda l: (
             pyramid.self_local[l] if pyramid.self_local else None
         )
+        # round 4: window-relative cross-level twins (one-hot matmul gathers)
+        dloc = lambda l: (
+            (pyramid.down_local[l],) + pyramid.down_meta[l]
+            if pyramid.down_meta and pyramid.down_meta[l] is not None
+            else None
+        )
+        uloc = lambda l: (
+            (pyramid.up_local[l],) + pyramid.up_meta[l]
+            if pyramid.up_meta and pyramid.up_meta[l] is not None
+            else None
+        )
         p0 = pyramid.points[0]
         x = jnp.concatenate([p0, features], axis=-1).astype(self.dtype)
 
@@ -311,7 +336,7 @@ class PointTransformerSeg(nn.Module):
                     dtype=self.dtype, name=f"enc{l}_down"
                 )(
                     pyramid.points[l - 1], x, p, pyramid.down_idx[l], train=train,
-                    rel=pyramid.down_rel[l],
+                    rel=pyramid.down_rel[l], local=dloc(l),
                 )
             for b in range(1, self.blocks[l]):
                 x = Block(
@@ -339,7 +364,8 @@ class PointTransformerSeg(nn.Module):
                 self.planes[l], bn_mode=self.bn_mode, dtype=self.dtype,
                 name=f"dec{l}_up"
             )(
-                down_feats[l], x, pyramid.up_idx[l + 1], pyramid.up_w[l + 1], train=train
+                down_feats[l], x, pyramid.up_idx[l + 1], pyramid.up_w[l + 1],
+                train=train, local=uloc(l + 1),
             )
             x = Block(
                 self.planes[l], self.share_planes, bn_mode=self.bn_mode,

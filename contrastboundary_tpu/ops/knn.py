@@ -41,8 +41,37 @@ def _window_topk(neg_d2: jax.Array, k: int, recall: float | None):
 # fully-batched window formulation beats the sequential lax.map + lax.top_k
 # tile loop. Measured round 3 (PERF.md): on [B=4,G=64,T=256,W=768] exact
 # lax.top_k costs 14.6 ms (k=8) / 15.2 ms (k=35) while k argmax passes cost
-# 2.76 ms at k=8 (~145M element·passes/ms) — batched-iter wins to ~1G budget.
-_ITER_TOPK_BUDGET = 1_000_000_000
+# 2.76 ms at k=8 (~145M element·passes/ms). Round 4: raised 1G → 2G — at
+# the L0 contrast budget (1.81e9) the iter path costs ~12.5 ms vs the sort
+# path's 20.2 ms (profiled), so iter stays the better fallback wherever the
+# fused window-top-k kernel (preferred, ops/pallas/win_topk.py) is
+# unavailable.
+_ITER_TOPK_BUDGET = 2_000_000_000
+
+# Below this element·pass budget the fused Pallas window-top-k kernel is NOT
+# dispatched for SELF searches: the batched-iter XLA path is already cheap
+# there, and the round-4 B=1 bisect measured the small-k self kernels
+# REGRESSING the step (s24 arm: 111.8 ms vs 86.7 XLA — the custom-call
+# disrupts more scheduling than it saves). The kernel pays exactly where the
+# alternative is the sort path / an HBM-bound many-pass iter: large budgets.
+_KERNEL_MIN_BUDGET = 500_000_000
+
+
+def _use_win_topk(tile: int, width: int, k: int, mode: str, window: int,
+                  gq: int, gs: int | None) -> tuple[bool, bool]:
+    """(dispatch to the fused Pallas window-top-k kernel?, interpret?).
+
+    The kernel computes the [T, W] distance tile once in VMEM and runs all k
+    exact argmax passes on it (ops/pallas/win_topk.py) — unlike the batched
+    XLA path it does not re-read [B,G,T,W] from HBM per pass, so it has no
+    element·pass budget. Probe-compiled per real grid geometry with XLA
+    fallback."""
+    import os
+
+    from .pallas.win_topk import window_topk_ok
+
+    interp = os.environ.get("WIN_TOPK") == "interpret"
+    return window_topk_ok(tile, width, k, mode, window, gq, gs), interp
 
 
 def _iter_topk(neg: jax.Array, k: int):
@@ -314,7 +343,30 @@ def tile_self_knn(
     starts = _np.clip(_np.arange(g) - window, 0, g - width)  # [g] tiles
     starts_j = jnp.asarray(starts * tile, jnp.int32)
 
+    import os as _os
+
     k_eff = min(k, w_sz)
+    if w_sz <= _EXACT_TOPK_WIDTH and k_eff == k and (
+        b * m * w_sz * k > _KERNEL_MIN_BUDGET
+        or _os.environ.get("WIN_TOPK") == "interpret"  # test hook
+    ):
+        mode = (
+            "exclude_self" if exclude_self
+            else ("ensure_self" if ensure_self else "plain")
+        )
+        use, interp = _use_win_topk(tile, width, k, mode, window, g, None)
+        if use:
+            # fused Pallas kernel: all k exact argmax passes on the VMEM
+            # distance tile — no per-pass HBM re-read, no sort. Bit-identical
+            # to the paths below (first-index ties).
+            from .pallas.win_topk import window_topk
+
+            ci, neg = window_topk(
+                sorted_pts, sorted_pts, k, tile=tile, width=width,
+                window=window, mode=mode, interpret=interp,
+            )
+            local_idx = jnp.where(jnp.isinf(neg), w_sz, ci)
+            return order, local_idx, width
     if w_sz <= _EXACT_TOPK_WIDTH and b * m * w_sz * k_eff <= _ITER_TOPK_BUDGET:
         # fully-batched EXACT path: one [B,G,T,W] distance einsum + k argmax
         # passes — 3-5× the sequential lax.map + lax.top_k tile loop at the
@@ -434,6 +486,18 @@ def tile_cross_knn(
     starts_j = jnp.asarray(starts * tile, jnp.int32)
     k_eff = min(k, w_sz)
 
+    if w_sz <= _EXACT_TOPK_WIDTH and k_eff == k:
+        use, interp = _use_win_topk(tile, width, k, "plain", window, gq, gs)
+        if use:
+            from .pallas.win_topk import window_topk
+
+            ci, neg = window_topk(
+                query, support, k, tile=tile, width=width, window=window,
+                mode="plain", gs=gs, interpret=interp,
+            )
+            gi = jnp.repeat(starts_j, tile)[None, :, None] + ci
+            idx = jnp.where(jnp.isinf(neg), n, gi)
+            return idx.astype(jnp.int32), -neg
     if w_sz <= _EXACT_TOPK_WIDTH and b * m * w_sz * k_eff <= _ITER_TOPK_BUDGET:
         # fully-batched EXACT path (see tile_self_knn): one [B,Gq,T,W]
         # distance einsum + k argmax passes instead of the sequential tile

@@ -146,6 +146,18 @@ class Pyramid:
     # then WINDOW-RELATIVE in the level's (sorted) row space with shadow =
     # tile·width; None-slots fall back to global indices.
     self_local: Tuple = struct.field(pytree_node=False, default=())
+    # layout='sorted' (round 4): WINDOW-RELATIVE twins of down_idx / up_idx /
+    # near0_idx in the tile_cross_knn geometry (shadow = tile·width), letting
+    # TransitionDown/Up and the multihead upsamples run as one-hot MXU
+    # matmuls (ops/tile_gather.py::cross_window_gather) instead of row
+    # gathers + backward scatter-adds. None-slots → use the global arrays.
+    down_local: Tuple = ()
+    up_local: Tuple = ()
+    near0_local: Tuple = ()
+    # matching static (tile, width, window) per level (None where N/A)
+    down_meta: Tuple = struct.field(pytree_node=False, default=())
+    up_meta: Tuple = struct.field(pytree_node=False, default=())
+    near0_meta: Tuple = struct.field(pytree_node=False, default=())
 
 
 def _sample(points: jax.Array, m: int, spec: PyramidSpec, level: int = 1) -> jax.Array:
@@ -296,22 +308,50 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         return s_idx, None
 
     def _cross(query, support, k, radius=None):
-        """Cross-level KNN. Sorted layout: both sides share the Morton order,
-        so the window-aligned search (ops/knn.py::tile_cross_knn) replaces
-        the dense distance matrix — no re-sort, ~N/(width·tile) less work."""
+        """Cross-level KNN → (idx, d2, meta). Sorted layout: both sides share
+        the Morton order, so the window-aligned search (ops/knn.py::
+        tile_cross_knn) replaces the dense distance matrix — no re-sort,
+        ~N/(width·tile) less work. meta = (tile, width, window) when the
+        window search ran (its indices then have a window-relative twin for
+        the one-hot matmul gathers, round 4), else None."""
         if sorted_layout and radius is None:
             t = min(spec.self_tile, query.shape[1], support.shape[1])
             if query.shape[1] % t == 0 and support.shape[1] % t == 0:
+                import os
+
                 from .knn import tile_cross_knn
 
-                return tile_cross_knn(
+                idx, d2 = tile_cross_knn(
                     query, support, k, tile=t, window=spec.self_window,
                     recall=spec.knn_recall,
                 )
-        return _knn(
+                if os.environ.get("XGATHER", "on") == "off":
+                    # A/B hook: suppress the window-relative twins so model
+                    # consumers fall back to global-index row gathers
+                    return idx, d2, None
+                gq, gs = query.shape[1] // t, support.shape[1] // t
+                span = -(-gs // gq)
+                width = min(span + 2 * spec.self_window, gs)
+                return idx, d2, (t, width, spec.self_window)
+        idx, d2 = _knn(
             spec, query, support, k, radius=radius, chunk=chunk,
             recall=spec.knn_recall,
         )
+        return idx, d2, None
+
+    def _cross_local(idx, meta, n_sup):
+        """Global support-row indices → window-relative (shadow = W)."""
+        import numpy as _np
+
+        from .tile_gather import cross_window_starts
+
+        t, width, window = meta
+        gq = idx.shape[1] // t
+        starts = cross_window_starts(gq, n_sup // t, width, window) * t
+        st = jnp.asarray(_np.repeat(starts, t), jnp.int32)
+        return jnp.where(
+            idx >= n_sup, width * t, idx - st[None, :, None]
+        ).astype(jnp.int32)
 
     def _level_self(pts_l, level):
         """Self-KNN for one level, using the merged search when it applies."""
@@ -332,6 +372,9 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
     up_idx = [None]
     up_w = [None]
     near0_idx = [sample_idx[0]]
+    down_local, down_meta = [None], [None]
+    up_local, up_meta = [None], [None]
+    near0_local, near0_meta = [None], [None]
     contrast_idx = []
     subscene_idx = []
 
@@ -359,19 +402,32 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         cur = batch_gather(prev, idx)
         pts.append(cur)
         sample_idx.append(idx)
-        d_idx, _ = _cross(
+        d_idx, _, d_meta = _cross(
             cur, prev, spec.k_down[l],
             radius=spec.down_radii[l] if spec.down_radii else None,
         )
         down_idx.append(d_idx)
+        down_meta.append(d_meta)
+        down_local.append(
+            _cross_local(d_idx, d_meta, prev.shape[1]) if d_meta else None
+        )
         s_idx, s_loc = _level_self(cur, l)
         self_idx.append(s_idx)
         self_local.append(s_loc)
-        u_idx, u_d2 = _cross(prev, cur, spec.k_up)
+        u_idx, u_d2, u_meta = _cross(prev, cur, spec.k_up)
         up_idx.append(u_idx)
         up_w.append(interpolation_weights(u_d2))
-        n0_idx, _ = _cross(points, cur, 1)
+        up_meta.append(u_meta)
+        up_local.append(
+            _cross_local(u_idx, u_meta, cur.shape[1]) if u_meta else None
+        )
+        n0_idx, _, n0_meta = _cross(points, cur, 1)
         near0_idx.append(n0_idx[..., 0])
+        near0_meta.append(n0_meta)
+        near0_local.append(
+            _cross_local(n0_idx, n0_meta, cur.shape[1])[..., 0]
+            if n0_meta else None
+        )
 
     contrast_order: list = [None] * spec.num_levels
     contrast_local: list = [None] * spec.num_levels
@@ -411,7 +467,7 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         subscene_idx.append(None)  # level 0 uses labels directly
         for l in range(1, spec.num_levels):
             kr = spec.subscene_k(l)
-            ss_idx, _ = _cross(pts[l], points, kr)
+            ss_idx, _, _ = _cross(pts[l], points, kr)
             subscene_idx.append(ss_idx)
     else:
         subscene_idx = [None] * spec.num_levels
@@ -434,8 +490,21 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         else _rel(pts[l], pts[l], self_idx[l])
         for l in range(spec.num_levels)
     ]
+    def _rel_cross(p_support, p_query, li, meta):
+        from .tile_gather import cross_window_gather
+
+        t, width, window = meta
+        nb = cross_window_gather(
+            p_support, li, p_support.shape[1], t, width, window
+        )  # shadow rows → 0
+        valid = (li < t * width)[..., None]
+        return jnp.where(valid, nb - p_query[:, :, None, :], 0.0)
+
     down_rel = [None] + [
-        _rel(pts[l - 1], pts[l], down_idx[l]) for l in range(1, spec.num_levels)
+        _rel_cross(pts[l - 1], pts[l], down_local[l], down_meta[l])
+        if down_meta[l] is not None
+        else _rel(pts[l - 1], pts[l], down_idx[l])
+        for l in range(1, spec.num_levels)
     ]
 
     return Pyramid(
@@ -454,4 +523,10 @@ def build_pyramid(points: jax.Array, spec: PyramidSpec) -> Pyramid:
         contrast_local=tuple(contrast_local),
         order0=order0,
         self_local=tuple(self_local),
+        down_local=tuple(down_local),
+        up_local=tuple(up_local),
+        near0_local=tuple(near0_local),
+        down_meta=tuple(down_meta),
+        up_meta=tuple(up_meta),
+        near0_meta=tuple(near0_meta),
     )

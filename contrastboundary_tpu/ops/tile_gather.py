@@ -35,15 +35,26 @@ def window_starts(num_tiles: int, width: int) -> np.ndarray:
     return np.clip(np.arange(num_tiles) - window, 0, num_tiles - width)
 
 
-def _windows(x: jax.Array, tile: int, width: int) -> jax.Array:
-    """x [B, M, C] → window blocks [B, G, W, C] (W = width·tile)."""
-    b, m, c = x.shape
-    g = m // tile
-    starts = window_starts(g, width)  # tile units
-    xt = x.reshape(b, g, tile, c)
-    # [B, G, width, tile, C]: tile-level gather (G·width rows — negligible)
+def cross_window_starts(gq: int, gs: int, width: int,
+                        window: int) -> np.ndarray:
+    """Static support-window starts (tile units) for CROSS-level geometry:
+    query tile g of a gq-tile level spans support tiles around (g·gs)//gq
+    (matches ops/knn.py::tile_cross_knn)."""
+    centers = (np.arange(gq) * gs) // max(gq, 1)
+    return np.clip(centers - window, 0, gs - width)
+
+
+def _windows(x: jax.Array, tile: int, width: int, starts=None) -> jax.Array:
+    """x [B, N, C] → window blocks [B, Gq, W, C] (W = width·tile). `starts`
+    (tile units, len = #query tiles) defaults to the self geometry."""
+    b, n, c = x.shape
+    gs = n // tile
+    if starts is None:
+        starts = window_starts(gs, width)  # self: query tiles == support
+    xt = x.reshape(b, gs, tile, c)
+    # [B, Gq, width, tile, C]: tile-level gather (Gq·width rows — negligible)
     win = xt[:, jnp.asarray(starts)[:, None] + jnp.arange(width)[None, :]]
-    return win.reshape(b, g, width * tile, c)
+    return win.reshape(b, len(starts), width * tile, c)
 
 
 def _sel_matmul(oh_bool, other, subscripts):
@@ -62,12 +73,12 @@ def _sel_matmul(oh_bool, other, subscripts):
     )
 
 
-def _gather_fwd_impl(x, local_idx, tile, width):
-    b, m, c = x.shape
-    g = m // tile
-    k = local_idx.shape[-1]
+def _gather_fwd_impl(x, local_idx, tile, width, starts=None):
+    b, mq, k = local_idx.shape
+    c = x.shape[-1]
+    g = mq // tile
     w = width * tile
-    xw = _windows(x, tile, width)  # [B, G, W, C]
+    xw = _windows(x, tile, width, starts)  # [B, Gq, W, C]
     li = local_idx.reshape(b, g, tile, k)
     iota = jnp.arange(w, dtype=local_idx.dtype)
     outs = []
@@ -75,14 +86,19 @@ def _gather_fwd_impl(x, local_idx, tile, width):
         oh = li[..., kk, None] == iota  # [B, G, Q, W]; shadow W → all-zero row
         outs.append(_sel_matmul(oh, xw, "bgqw,bgwc->bgqc"))
     out = jnp.stack(outs, axis=3)  # [B, G, Q, K, C]
-    return out.reshape(b, m, k, c).astype(x.dtype)
+    return out.reshape(b, mq, k, c).astype(x.dtype)
 
 
-def _gather_bwd_impl(x_shape, x_dtype, local_idx, g_out, tile, width):
-    b, m, c = x_shape
-    g = m // tile
+def _gather_bwd_impl(x_shape, x_dtype, local_idx, g_out, tile, width,
+                     starts=None):
+    b, n, c = x_shape  # SUPPORT shape
+    gs = n // tile
+    mq = local_idx.shape[1]
+    g = mq // tile
     k = local_idx.shape[-1]
     w = width * tile
+    if starts is None:
+        starts = window_starts(gs, width)
     li = local_idx.reshape(b, g, tile, k)
     gr = g_out.reshape(b, g, tile, k, c)
     iota = jnp.arange(w, dtype=local_idx.dtype)
@@ -92,12 +108,11 @@ def _gather_bwd_impl(x_shape, x_dtype, local_idx, g_out, tile, width):
         gw = gw + _sel_matmul(oh, gr[:, :, :, kk, :], "bgqw,bgqc->bgwc")
     # overlap-add the per-tile window grads back onto rows: window slot j of
     # query tile t covers support tile starts[t] + j
-    starts = window_starts(g, width)
     gw = gw.reshape(b, g, width, tile, c)
-    gx = jnp.zeros((b, g, tile, c), jnp.float32)
+    gx = jnp.zeros((b, gs, tile, c), jnp.float32)
     for j in range(width):
-        gx = gx.at[:, starts + j].add(gw[:, :, j])
-    return gx.reshape(b, m, c).astype(x_dtype)
+        gx = gx.at[:, np.asarray(starts) + j].add(gw[:, :, j])
+    return gx.reshape(b, n, c).astype(x_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -123,6 +138,49 @@ def _bwd(tile, width, local_idx, g_out):
 
 
 tile_window_gather.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def cross_window_gather(x, local_idx, n_support, tile, width, window):
+    """Cross-level window gather as one-hot MXU matmuls (round 4).
+
+    out [B, Mq, K, C]: out[b, q, k] = x[b, starts[q // tile]·tile + idx] for
+    idx = local_idx[b, q, k] < W; zeros for the shadow index W. `x` is the
+    SUPPORT level [B, N, C] and local_idx is window-relative in the
+    tile_cross_knn geometry (starts from cross_window_starts(gq, gs, width,
+    window)). Backward is the transposed matmul overlap-added onto support
+    rows — replaces the row-rate gather + scatter-add pair the profile
+    showed on every TransitionDown/Up and multihead stage gather.
+
+    `n_support` is passed explicitly (static) so the VJP needs no residual
+    beyond local_idx. Equivalent reference work: pointops grouping /
+    interpolation CUDA kernels (pytorch/lib/pointops/src/grouping,
+    src/interpolation)."""
+    gq = local_idx.shape[1] // tile
+    starts = cross_window_starts(gq, n_support // tile, width, window)
+    return _gather_fwd_impl(x, local_idx, tile, width, starts)
+
+
+def _cross_fwd(x, local_idx, n_support, tile, width, window):
+    return (
+        cross_window_gather(x, local_idx, n_support, tile, width, window),
+        local_idx,
+    )
+
+
+def _cross_bwd(n_support, tile, width, window, local_idx, g_out):
+    gq = local_idx.shape[1] // tile
+    starts = cross_window_starts(gq, n_support // tile, width, window)
+    b, _, _, c = g_out.shape
+    # the forward casts its output to x.dtype, so g_out.dtype == x.dtype
+    return (
+        _gather_bwd_impl((b, n_support, c), g_out.dtype, local_idx, g_out,
+                         tile, width, starts),
+        None,
+    )
+
+
+cross_window_gather.defvjp(_cross_fwd, _cross_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

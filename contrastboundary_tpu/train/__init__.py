@@ -1,6 +1,7 @@
 from .state import TrainState, create_train_state
 from .schedule import exponential_epoch_decay, multistep_epoch_decay
-from .trainer import TrainStepConfig, make_train_step, make_eval_step, Trainer
+from .trainer import (TrainStepConfig, make_train_step,
+                      make_train_step_with_fallback, make_eval_step, Trainer)
 
 __all__ = [
     "TrainState",
@@ -9,6 +10,7 @@ __all__ = [
     "multistep_epoch_decay",
     "TrainStepConfig",
     "make_train_step",
+    "make_train_step_with_fallback",
     "make_eval_step",
     "Trainer",
 ]

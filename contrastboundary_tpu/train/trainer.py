@@ -151,6 +151,57 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
     return jax.jit(train_step, donate_argnums=0)
 
 
+def make_train_step_with_fallback(model, cfg: TrainStepConfig,
+                                  logger=None) -> Callable:
+    """make_train_step with a kernels-off compile retry.
+
+    The Pallas window-top-k kernels are probe-compiled per instantiation
+    with XLA fallback, but the remote Mosaic helper has 500'd on a combined
+    STEP module whose kernels all probe fine standalone (round 4, preset
+    shape B=1 N=65536, key t256w3k36) — a production training run must
+    degrade to the XLA paths, not crash."""
+    # ladder: retry same config (the helper 500s are partly host-contention
+    # flakiness) → self kernels off (the deterministic 500 class is
+    # self-mode; cross kernels are a measured win) → all kernels off
+    holder = {
+        "step": make_train_step(model, cfg),
+        "ladder": [(), ("WIN_TOPK_SELF", "off"), ("WIN_TOPK", "off")],
+    }
+
+    def step(state, batch):
+        while True:
+            try:
+                return holder["step"](state, batch)
+            except Exception as e:  # noqa: BLE001 — filter, else re-raise
+                msg = str(e)
+                retriable = (
+                    "remote_compile" in msg or "Mosaic" in msg
+                    or "tpu_compile_helper" in msg
+                )
+                if not retriable or not holder["ladder"]:
+                    raise
+                import os
+
+                rung = holder["ladder"].pop(0)
+                if logger is not None:
+                    logger.warning(
+                        "train step compile failed with Pallas kernels "
+                        f"({type(e).__name__}); retrying"
+                        + (f" with {rung[0]}={rung[1]}" if rung
+                           else " (same config)")
+                    )
+                if rung:
+                    os.environ[rung[0]] = rung[1]
+                from ..ops.knn import tile_cross_knn
+                from ..ops.pyramid import build_pyramid as _bp
+
+                _bp.clear_cache()
+                tile_cross_knn.clear_cache()
+                holder["step"] = make_train_step(model, cfg)
+
+    return step
+
+
 def make_eval_step(
     model, cfg: TrainStepConfig, with_features: bool = False,
     output: str = "probs",

@@ -187,3 +187,23 @@ def test_compile_cache_fingerprint(tmp_path):
             assert jax.config.jax_compilation_cache_dir == old
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_confusion_matrix_matches_numpy_histogram():
+    """The one-hot-matmul confusion (round-4: replaces the scatter-add
+    histogram) must equal the plain numpy bincount, ignore rows excluded."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from contrastboundary_tpu.eval.metrics import confusion_matrix
+
+    rng = np.random.RandomState(3)
+    label = rng.randint(-1, 5, (4, 257))
+    pred = rng.randint(0, 5, (4, 257))
+    got = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(label), 5))
+    want = np.zeros((5, 5))
+    for l, p in zip(label.ravel(), pred.ravel()):
+        if l != -1:
+            want[l, p] += 1
+    np.testing.assert_array_equal(got, want)
