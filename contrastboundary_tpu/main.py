@@ -147,14 +147,14 @@ def run_eval(
 
     from .eval.voting import VotingEvaluator
     from .parallel import shard_batch
-    from .train import make_eval_step
+    from .train import make_eval_step_with_fallback
 
     ctx = ctx if ctx is not None else {}
     # 'feature' in extra_ops → extract per-stage latents during eval for the
     # feature-distance-across-boundary stats (reference tester.py:51-96)
     with_features = bool(extra_ops) and "feature" in extra_ops
     if "eval_step" not in ctx:
-        ctx["eval_step"] = make_eval_step(
+        ctx["eval_step"] = make_eval_step_with_fallback(
             model, step_cfg, with_features=with_features
         )
         ctx["val_ds"] = build_dataset(cfg, "val")
@@ -440,7 +440,7 @@ def run_enumerate_eval(cfg, model, step_cfg, state, mesh, logger, extra_ops=""):
 
     from .eval.enumerate import EnumerateEvaluator
     from .parallel import shard_batch
-    from .train import make_eval_step
+    from .train import make_eval_step_with_fallback as make_eval_step
 
     eval_step = make_eval_step(model, step_cfg, output="logits")
 
@@ -503,7 +503,7 @@ def run_test(cfg, logger, exp_dir: str, model_path: str, out_dir: str = ""):
 
     from .eval.voting import VotingEvaluator
     from .parallel import shard_batch
-    from .train import make_eval_step
+    from .train import make_eval_step_with_fallback as make_eval_step
     from .train.checkpoint import CheckpointManager
 
     model, spec, step_cfg, state, mesh, _, _ = setup(cfg, logger)

@@ -1,7 +1,8 @@
 from .state import TrainState, create_train_state
 from .schedule import exponential_epoch_decay, multistep_epoch_decay
 from .trainer import (TrainStepConfig, make_train_step,
-                      make_train_step_with_fallback, make_eval_step, Trainer)
+                      make_train_step_with_fallback,
+                      make_eval_step, make_eval_step_with_fallback, Trainer)
 
 __all__ = [
     "TrainState",
@@ -11,6 +12,7 @@ __all__ = [
     "TrainStepConfig",
     "make_train_step",
     "make_train_step_with_fallback",
+    "make_eval_step_with_fallback",
     "make_eval_step",
     "Trainer",
 ]

@@ -151,27 +151,26 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
     return jax.jit(train_step, donate_argnums=0)
 
 
-def make_train_step_with_fallback(model, cfg: TrainStepConfig,
-                                  logger=None) -> Callable:
-    """make_train_step with a kernels-off compile retry.
+def _with_kernel_fallback(build, logger=None, what="step") -> Callable:
+    """Wrap a jitted-step factory with a kernels-off compile-retry ladder.
 
     The Pallas window-top-k kernels are probe-compiled per instantiation
-    with XLA fallback, but the remote Mosaic helper has 500'd on a combined
-    STEP module whose kernels all probe fine standalone (round 4, preset
-    shape B=1 N=65536, key t256w3k36) — a production training run must
-    degrade to the XLA paths, not crash."""
-    # ladder: retry same config (the helper 500s are partly host-contention
-    # flakiness) → self kernels off (the deterministic 500 class is
-    # self-mode; cross kernels are a measured win) → all kernels off
+    with XLA fallback, but the remote Mosaic helper has 500'd on combined
+    STEP modules whose kernels all probe fine standalone (round 4, preset
+    shape B=1 N=65536, key t256w3k36; suspected host-contention starvation
+    of the compile-helper subprocess) — production runs must degrade to the
+    XLA paths, not crash. Ladder: retry same config (flakiness) → self
+    kernels off (the deterministic 500 class is self-mode; cross kernels
+    are a measured win) → all kernels off."""
     holder = {
-        "step": make_train_step(model, cfg),
+        "step": build(),
         "ladder": [(), ("WIN_TOPK_SELF", "off"), ("WIN_TOPK", "off")],
     }
 
-    def step(state, batch):
+    def step(*args):
         while True:
             try:
-                return holder["step"](state, batch)
+                return holder["step"](*args)
             except Exception as e:  # noqa: BLE001 — filter, else re-raise
                 msg = str(e)
                 retriable = (
@@ -185,7 +184,7 @@ def make_train_step_with_fallback(model, cfg: TrainStepConfig,
                 rung = holder["ladder"].pop(0)
                 if logger is not None:
                     logger.warning(
-                        "train step compile failed with Pallas kernels "
+                        f"{what} compile failed with Pallas kernels "
                         f"({type(e).__name__}); retrying"
                         + (f" with {rung[0]}={rung[1]}" if rung
                            else " (same config)")
@@ -197,9 +196,25 @@ def make_train_step_with_fallback(model, cfg: TrainStepConfig,
 
                 _bp.clear_cache()
                 tile_cross_knn.clear_cache()
-                holder["step"] = make_train_step(model, cfg)
+                holder["step"] = build()
 
     return step
+
+
+def make_train_step_with_fallback(model, cfg: TrainStepConfig,
+                                  logger=None) -> Callable:
+    """make_train_step with the kernels-off compile-retry ladder."""
+    return _with_kernel_fallback(
+        lambda: make_train_step(model, cfg), logger, "train step"
+    )
+
+
+def make_eval_step_with_fallback(model, cfg: TrainStepConfig, logger=None,
+                                 **kw) -> Callable:
+    """make_eval_step with the kernels-off compile-retry ladder."""
+    return _with_kernel_fallback(
+        lambda: make_eval_step(model, cfg, **kw), logger, "eval step"
+    )
 
 
 def make_eval_step(

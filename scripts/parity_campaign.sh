@@ -8,6 +8,10 @@
 # dir); everything appends to results/parity_ckpt.jsonl.
 set -x
 cd /root/repo
+# kernels off for the campaign: accuracy arms must not die on the remote
+# Mosaic helper's in-step 500s (the kernels are bit-exact mod ulp ties, so
+# accuracy conclusions are unaffected; see PERF.md round 4)
+export WIN_TOPK=off
 export PARITY_EPOCHS=${PARITY_EPOCHS:-15}
 for seed in 0 1; do
   for arm in fast paper; do
