@@ -183,6 +183,102 @@ def _fwd_kernel(*refs, width, tile, k, c, cs, shares):
     )
 
 
+def _fwd_kernel_b(*refs, width, tile, k, c, cs, shares):
+    """K-batched forward body (round-4 redesign, PERF.md): the per-k variant
+    spends its time in K separate [T, ·] ops whose [T, Cs≤64] operands use a
+    few percent of the VPU lanes and whose [T, W] gather matmuls under-fill
+    the MXU. Here the K loop is folded into the ROW dimension instead:
+
+      oh [K·T, W] @ kv_win            one gather matmul (K× the rows)
+      pe/tower over [K·T, C]          one tower, full-lane elementwise
+      softmax over k                  static row slices, register-only
+
+    Same math, same outputs, same Mosaic construct set as the per-k body
+    (concat of full blocks, static slices, 2-D iota, f32 accumulators)."""
+    (
+        kv_wins, q_ref, rel_ref, li_ref,
+        a1, c1, w2, b2, g1, h1, w3, b3, g2, h2, w4, b4,
+        out_ref, s1_ref, s2_ref,
+    ) = (
+        refs[:width], refs[width], refs[width + 1], refs[width + 2],
+        *refs[width + 3 : width + 15],
+        refs[width + 15], refs[width + 16], refs[width + 17],
+    )
+    w_sz = width * tile
+    kv_win = jnp.concatenate([r[0] for r in kv_wins], axis=0)  # [W, 2C]
+    q = q_ref[0].astype(jnp.float32)
+    rel = rel_ref[0]  # [T, K*3]
+    li = li_ref[0]  # [T, K]
+
+    ps = [
+        p[:].astype(jnp.float32)
+        for p in (a1, c1, w2, b2, g1, h1, w3, b3, g2, h2, w4, b4)
+    ]
+    a1v, c1v, w2v, b2v, g1v, h1v, w3v, b3v, g2v, h2v, w4v, b4v = ps
+
+    kt = k * tile
+    li_all = jnp.concatenate(
+        [li[:, kk][:, None] for kk in range(k)], axis=0
+    )  # [K·T, 1], k-major rows
+    iota_w = lax.broadcasted_iota(jnp.int32, (kt, w_sz), 1)
+    oh = (li_all == iota_w).astype(kv_win.dtype)
+    prec = None if kv_win.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    kv_all = lax.dot_general(
+        oh, kv_win, (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
+    )  # [K·T, 2C]
+    k_all, v_all = kv_all[:, :c], kv_all[:, c:]
+    rel_all = jnp.concatenate(
+        [rel[:, kk * 3 : kk * 3 + 3] for kk in range(k)], axis=0
+    ).astype(jnp.float32)  # [K·T, 3]
+    pe_all = _pe(rel_all, a1v, c1v, w2v, b2v)  # [K·T, C]
+    q_all = jnp.concatenate([q] * k, axis=0)  # [K·T, C]
+    w_pre = k_all - q_all + pe_all
+    w4_all, bvec_all, _, _ = _tower(
+        w_pre, g1v, h1v, w3v, b3v, g2v, h2v, w4v, b4v
+    )  # [K·T, Cs]
+
+    s1_sum = jnp.sum(w_pre, axis=0, keepdims=True)
+    s1_sq = jnp.sum(w_pre * w_pre, axis=0, keepdims=True)
+    s2_sum = jnp.sum(bvec_all, axis=0, keepdims=True)
+    s2_sq = jnp.sum(bvec_all * bvec_all, axis=0, keepdims=True)
+
+    # masked softmax over k: all scores are materialized, so a direct
+    # two-pass max/sum over static row slices (no online rescaling)
+    in_all = li_all < w_sz  # [K·T, 1]
+    a_all = jnp.where(in_all, w4_all, _NEG)  # [K·T, Cs]
+    m = a_all[0:tile]
+    for kk in range(1, k):
+        m = jnp.maximum(m, a_all[kk * tile : (kk + 1) * tile])
+    e_all = jnp.where(
+        in_all, jnp.exp(w4_all - jnp.concatenate([m] * k, axis=0)), 0.0
+    )
+    vpe_all = v_all + pe_all
+    den = jnp.zeros((tile, cs), jnp.float32)
+    num = jnp.zeros((tile, c), jnp.float32)
+    for kk in range(k):
+        sl = slice(kk * tile, (kk + 1) * tile)
+        e = e_all[sl]
+        den = den + e
+        num = num + jnp.concatenate([e] * shares, axis=1) * vpe_all[sl]
+
+    out_ref[0] = (num / jnp.concatenate([den] * shares, axis=1)).astype(
+        out_ref.dtype
+    )
+    s1_ref[0] = jnp.concatenate(
+        [s1_sum, s1_sq] + [jnp.zeros((6, c), jnp.float32)], axis=0
+    )
+    s2_ref[0] = jnp.concatenate(
+        [s2_sum, s2_sq] + [jnp.zeros((6, cs), jnp.float32)], axis=0
+    )
+
+
+def _impl_batched() -> bool:
+    import os
+
+    return os.environ.get("PT_ATTN_IMPL", "batched") != "perk"
+
+
 def _common_inputs(q, kv, rel, li, params):
     b, m, c = q.shape
     k = li.shape[-1]
@@ -197,7 +293,8 @@ def _fwd_call(q, kv, rel, li, params, tile, width, window, shares, interpret):
     g = m // tile
     cs = c // shares
     kern = functools.partial(
-        _fwd_kernel, width=width, tile=tile, k=k, c=c, cs=cs, shares=shares
+        _fwd_kernel_b if _impl_batched() else _fwd_kernel,
+        width=width, tile=tile, k=k, c=c, cs=cs, shares=shares,
     )
     in_specs = (
         _window_specs(width, window, g, tile, 2 * c)
@@ -459,6 +556,153 @@ def _bwd_kernel(*refs, width, tile, k, c, cs, shares, window, num_tiles):
     )
 
 
+def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles):
+    """K-batched backward body (see _fwd_kernel_b). Everything the per-k
+    variant recomputed three times per k is materialized once over [K·T, ·]
+    rows; every param-grad accumulation is a single row-contracted matmul,
+    and the dkv window scatter is ONE ohᵀ @ [dwpre|dvpe] matmul instead of
+    2K one-hot scatters. Outputs bit-match the per-k packing."""
+    (
+        kv_wins, q_ref, rel_ref, li_ref,
+        a1, c1, w2, b2, g1, h1, w3, b3, g2, h2, w4, b4,
+        gout_ref,
+        dkv_ref, dq_ref, dp_ref,
+    ) = (
+        refs[:width], refs[width], refs[width + 1], refs[width + 2],
+        *refs[width + 3 : width + 15],
+        refs[width + 15],
+        refs[width + 16], refs[width + 17], refs[width + 18],
+    )
+    w_sz = width * tile
+    kt = k * tile
+    kv_win = jnp.concatenate([r[0] for r in kv_wins], axis=0)
+    q = q_ref[0].astype(jnp.float32)
+    rel = rel_ref[0]
+    li = li_ref[0]
+    gout = gout_ref[0].astype(jnp.float32)  # [T, C]
+
+    ps = [
+        p[:].astype(jnp.float32)
+        for p in (a1, c1, w2, b2, g1, h1, w3, b3, g2, h2, w4, b4)
+    ]
+    a1v, c1v, w2v, b2v, g1v, h1v, w3v, b3v, g2v, h2v, w4v, b4v = ps
+
+    # ---- batched forward recompute ----
+    li_all = jnp.concatenate(
+        [li[:, kk][:, None] for kk in range(k)], axis=0
+    )  # [K·T, 1]
+    iota_w = lax.broadcasted_iota(jnp.int32, (kt, w_sz), 1)
+    oh = (li_all == iota_w).astype(kv_win.dtype)
+    prec = None if kv_win.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    kv_all = lax.dot_general(
+        oh, kv_win, (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    k_all, v_all = kv_all[:, :c], kv_all[:, c:]
+    rel_all = jnp.concatenate(
+        [rel[:, kk * 3 : kk * 3 + 3] for kk in range(k)], axis=0
+    ).astype(jnp.float32)
+    pe1_all = _matmul(rel_all, a1v) + c1v  # [K·T, 3]
+    r_pe = jnp.maximum(pe1_all, 0.0)
+    pe_all = _matmul(r_pe, w2v) + b2v  # [K·T, C]
+    q_all = jnp.concatenate([q] * k, axis=0)
+    w_pre = k_all - q_all + pe_all
+    a_pre = w_pre * g1v + h1v
+    r1 = jnp.maximum(a_pre, 0.0)
+    bvec = _matmul(r1, w3v) + b3v
+    c_ = bvec * g2v + h2v
+    r2 = jnp.maximum(c_, 0.0)
+    w4_all = _matmul(r2, w4v) + b4v  # [K·T, Cs]
+
+    in_all = li_all < w_sz  # [K·T, 1]
+    a_all = jnp.where(in_all, w4_all, _NEG)
+    m = a_all[0:tile]
+    for kk in range(1, k):
+        m = jnp.maximum(m, a_all[kk * tile : (kk + 1) * tile])
+    den = jnp.zeros((tile, cs), jnp.float32)
+    m_all = jnp.concatenate([m] * k, axis=0)
+    e_all = jnp.where(in_all, jnp.exp(w4_all - m_all), 0.0)
+    for kk in range(k):
+        den = den + e_all[kk * tile : (kk + 1) * tile]
+    alpha_all = e_all / jnp.concatenate([den] * k, axis=0)  # [K·T, Cs]
+
+    # ---- attention-path grads ----
+    gout_all = jnp.concatenate([gout] * k, axis=0)  # [K·T, C]
+    vpe_all = v_all + pe_all
+    gv_all = gout_all * vpe_all
+    dalpha = gv_all[:, :cs]
+    for si in range(1, shares):
+        dalpha = dalpha + gv_all[:, si * cs : (si + 1) * cs]
+    ad = alpha_all * dalpha
+    S = ad[0:tile]
+    for kk in range(1, k):
+        S = S + ad[kk * tile : (kk + 1) * tile]
+    dw4 = alpha_all * (dalpha - jnp.concatenate([S] * k, axis=0))
+    dvpe = jnp.concatenate([alpha_all] * shares, axis=1) * gout_all
+
+    # ---- tower backward (one contraction per parameter) ----
+    def rowdot(x, y):
+        return lax.dot_general(
+            x, y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def coldot(x, w):
+        return lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dW4 = rowdot(r2, dw4)
+    db4 = jnp.sum(dw4, axis=0, keepdims=True)
+    dc_ = coldot(dw4, w4v) * (c_ > 0)
+    dg2 = jnp.sum(dc_ * bvec, axis=0, keepdims=True)
+    dh2 = jnp.sum(dc_, axis=0, keepdims=True)
+    dbv = dc_ * g2v
+    dW3 = rowdot(r1, dbv)
+    db3 = jnp.sum(dbv, axis=0, keepdims=True)
+    da = coldot(dbv, w3v) * (a_pre > 0)
+    dg1 = jnp.sum(da * w_pre, axis=0, keepdims=True)
+    dh1 = jnp.sum(da, axis=0, keepdims=True)
+    dwpre = da * g1v  # [K·T, C]
+    dq_sum = dwpre[0:tile]
+    for kk in range(1, k):
+        dq_sum = dq_sum + dwpre[kk * tile : (kk + 1) * tile]
+
+    # ---- dkv window scatter: one transposed one-hot matmul ----
+    ohf = (li_all == iota_w).astype(jnp.float32)
+    acc_dkv = lax.dot_general(
+        ohf, jnp.concatenate([dwpre, dvpe], axis=1),
+        (((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [W, 2C]
+
+    # ---- PE param grads (both pe consumers: w_pre and vpe) ----
+    dpe = dwpre + dvpe
+    dW2 = rowdot(r_pe, dpe)
+    db2 = jnp.sum(dpe, axis=0, keepdims=True)
+    dr_pe = coldot(dpe, w2v) * (pe1_all > 0)
+    dA1 = rowdot(rel_all, dr_pe)
+    dc1 = jnp.sum(dr_pe, axis=0, keepdims=True)
+
+    for j in range(width):
+        dkv_ref[0, 0, j] = acc_dkv[j * tile : (j + 1) * tile]
+    dq_ref[0] = -dq_sum
+
+    def padc(x):
+        r, cc = x.shape
+        return x if cc == c else jnp.concatenate(
+            [x, jnp.zeros((r, c - cc), jnp.float32)], axis=1
+        )
+
+    dp_ref[0] = jnp.concatenate(
+        [padc(dA1), padc(dc1), dW2, db2, padc(dg1), padc(dh1),
+         padc(dW3), padc(db3), padc(dg2), padc(dh2), padc(dW4), padc(db4)],
+        axis=0,
+    )
+
+
 def _bwd_call(q, kv, rel, li, params, g_out, tile, width, window, shares,
               interpret):
     (kv_a, q_a, rel_a, li_a, *ps), (b, m, c, k) = _common_inputs(
@@ -467,7 +711,8 @@ def _bwd_call(q, kv, rel, li, params, g_out, tile, width, window, shares,
     g = m // tile
     cs = c // shares
     kern = functools.partial(
-        _bwd_kernel, width=width, tile=tile, k=k, c=c, cs=cs, shares=shares,
+        _bwd_kernel_b if _impl_batched() else _bwd_kernel,
+        width=width, tile=tile, k=k, c=c, cs=cs, shares=shares,
         window=window, num_tiles=g,
     )
     in_specs = (

@@ -13,6 +13,14 @@ from contrastboundary_tpu.ops.pallas.pt_attn import (
     pt_attn_reference,
 )
 
+@pytest.fixture(params=["batched", "perk"], autouse=True)
+def attn_impl(request, monkeypatch):
+    """Run every test under both kernel bodies (PERF.md round 4: the
+    K-batched variant folds the K loop into the row dimension)."""
+    monkeypatch.setenv("PT_ATTN_IMPL", request.param)
+    return request.param
+
+
 TILE, WIDTH, WINDOW, K, C, S = 8, 3, 1, 4, 16, 4
 G = 4
 M = G * TILE
