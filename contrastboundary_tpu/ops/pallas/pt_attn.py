@@ -839,7 +839,8 @@ def pt_attn_ok(tile: int, width: int, k: int, c: int, shares: int,
         return True
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    key = (tile, width, k, c, shares, jnp.dtype(dtype).name)
+    key = (tile, width, k, c, shares, jnp.dtype(dtype).name,
+           _impl_batched())
     if key in _PROBED:
         return _PROBED[key]
 

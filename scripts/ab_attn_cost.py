@@ -71,6 +71,12 @@ class NoAttnLayer(nn.Module):
 def build_arm(name, b, n):
     import os
 
+    # "...@perk" suffix selects the round-4 per-k kernel body; default is
+    # the K-batched body (ops/pallas/pt_attn.py::_fwd_kernel_b)
+    os.environ["PT_ATTN_IMPL"] = (
+        "perk" if name.endswith("@perk") else "batched"
+    )
+    name = name[: -len("@perk")] if name.endswith("@perk") else name
     blocks_mod.PointTransformerLayer = (
         NoAttnLayer if name == "noattn" else _ORIG_LAYER
     )
