@@ -53,6 +53,10 @@ from contrastboundary_tpu.train.state import make_optimizer
 TRAIN_ROOMS, VAL_ROOMS, PTS = 64, 16, 120_000
 N_POINTS, VOXEL_MAX = 65536, 80000
 EPOCHS = int(os.environ.get("PARITY_EPOCHS", "15"))
+# paper protocol = 20 votes (tensorflow/config/s3dis.py:52); a reduced
+# paired budget stays decision-grade for fast-vs-paper DELTAS as long as
+# both arms share it (identical vote seeds), and cuts eval wall-clock ~4x
+VOTES = float(os.environ.get("PARITY_VOTES", "20"))
 LOOP, BATCH = 2, 1
 NUM_CLASSES = 13
 CKPT_DIR = "results/ckpts"
@@ -173,7 +177,7 @@ def evaluate(seed: int, train_arm: str, eval_arm: str):
 
     ev = VotingEvaluator(
         val_ds, predict, NUM_CLASSES, N_POINTS, batch_size=2,
-        voxel_size=0.04, num_votes=20.0, smooth=0.95, seed=seed,
+        voxel_size=0.04, num_votes=VOTES, smooth=0.95, seed=seed,
     )
     m = ev.run(progress=lambda s, p: print(
         f"[eval {train_arm}->{eval_arm} s{seed}] vote {s}, pot {p:.2f}",
@@ -188,6 +192,7 @@ def evaluate(seed: int, train_arm: str, eval_arm: str):
         "eval_arm": eval_arm,
         "seed": seed,
         "epochs": EPOCHS,
+        "votes": VOTES,
         "sub_mIoU": m["sub"]["mIoU"],
         "full_mIoU": m["full"]["mIoU"],
         "full_OA": m["full"]["OA"],
