@@ -356,9 +356,8 @@ def cbl_stage_loss(
         [lab_pack.astype(fuse_dtype), features.astype(fuse_dtype)], -1
     )
 
-    if (
+    _flagship_options = (
         local is not None
-        and cfg.impl in ("auto", "pallas")
         and cfg.contrast == "softnn"
         and cfg.dist in ("l2", "norml2")  # norml2 pre-normalized above
         and cfg.pos == "cnt"
@@ -368,11 +367,37 @@ def cbl_stage_loss(
         and not cfg.separate_pos
         and not cfg.mask_mode
         and cfg.power == 1.0
-    ):
-        # fused per-tile kernel v2: the whole stage loss (gather matmuls,
-        # posmask, distances, softnn, masked reduction + analytic backward)
-        # stays in VMEM — no [B, M, K, C] HBM tensors
-        # (ops/pallas/cbl_tile2.py; probe-compiled w/ XLA fallback)
+    )
+    if _flagship_options:
+        # dense-window kernel v3 (ops/pallas/cbl_dense.py): one [T,C]@[C,W]
+        # score matmul + full-lane [T,W] masked softnn — no per-k math at
+        # all (PERF.md round 4). Env-gated (CBL_DENSE=auto|on|off) and
+        # probe-compiled independently of cfg.impl, like the WIN_TOPK
+        # kernels: distances come from the clamped matmul expansion (ulp-
+        # level noise, documented), so exact-semantics runs set
+        # CBL_DENSE=off.
+        tile, width = local
+        window = (width - 1) // 2
+        from ..ops.pallas.cbl_dense import cbl_dense_loss, cbl_dense_ok
+
+        if cbl_dense_ok(
+            m // tile, tile, width, window, contrast_idx.shape[-1],
+            features.shape[-1], float(cfg.temperature),
+        ):
+            import os
+
+            interp = os.environ.get("CBL_DENSE") == "interpret"
+            return cbl_dense_loss(
+                features.astype(jnp.float32),
+                label_soft.astype(jnp.float32), contrast_idx,
+                float(cfg.temperature), tile, width, window,
+                weight=cfg.weight, interpret=interp,
+            )
+
+    if _flagship_options and cfg.impl in ("auto", "pallas"):
+        # k-chunked kernel v2 (ops/pallas/cbl_tile2.py) — kept for
+        # toolchains whose Mosaic rejects the dense body; opt-in via
+        # cfg.impl (measured negative at step level, PERF.md round 3).
         tile, width = local
         window = (width - 1) // 2
         k = contrast_idx.shape[-1]
@@ -404,14 +429,45 @@ def cbl_stage_loss(
         else contrast_idx
     )
     valid = samp < shadow
-    if local is not None:
+    import os
+
+    split_tile = local is not None and os.environ.get(
+        "CBL_SPLIT_GATHER", "0"
+    ) != "0"
+    if split_tile:
+        # tile mode, SPLIT label/feature gathers: the label gather carries
+        # no gradient (labels are data), so the feature gather's transposed-
+        # matmul backward runs on the bare C channels — the fused [lab|feat]
+        # variant's backward pads the feature cotangent with zero label
+        # lanes and re-lays out [B, M, K, C+n] (profile: ~3 ms of pad/
+        # reshape/copy churn at L0). The one-hot compares are identical
+        # expressions, CSE'd across the two matmul sets.
+        from ..ops.tile_gather import tile_window_gather_auto
+
+        nb_l = tile_window_gather_auto(
+            lab_pack.astype(fuse_dtype), samp, local[0], local[1]
+        )
+        nb_f = tile_window_gather_auto(
+            features.astype(fuse_dtype), samp, local[0], local[1]
+        )
+        if rand_idx is not None:
+            nb_l = jnp.concatenate(
+                [nb_l, batch_gather(lab_pack.astype(fuse_dtype), rand_idx)],
+                axis=2,
+            )
+            nb_f = jnp.concatenate(
+                [nb_f, batch_gather(features.astype(fuse_dtype), rand_idx)],
+                axis=2,
+            )
+    elif local is not None:
         from ..ops.tile_gather import tile_window_gather_auto
 
         nb = tile_window_gather_auto(fused, samp, local[0], local[1])
     else:
         nb = batch_gather(fused, jnp.where(valid, samp, 0))
     if rand_idx is not None:
-        nb = jnp.concatenate([nb, batch_gather(fused, rand_idx)], axis=2)
+        if not split_tile:
+            nb = jnp.concatenate([nb, batch_gather(fused, rand_idx)], axis=2)
         valid = jnp.concatenate(
             [valid, jnp.ones(rand_idx.shape, bool)], axis=-1
         )
@@ -420,8 +476,12 @@ def cbl_stage_loss(
     )
     # loss math stays f32 regardless of the gather dtype (the reference's
     # head computes in f32; only the gather matmul takes the bf16 fast path)
-    nb_label = nb[..., :n_lab].astype(jnp.float32)
-    nb_feat = nb[..., n_lab:].astype(jnp.float32)
+    if split_tile:
+        nb_label = nb_l.astype(jnp.float32)
+        nb_feat = nb_f.astype(jnp.float32)
+    else:
+        nb_label = nb[..., :n_lab].astype(jnp.float32)
+        nb_feat = nb[..., n_lab:].astype(jnp.float32)
     features = features.astype(jnp.float32)
     label_soft = label_soft.astype(jnp.float32)
 
