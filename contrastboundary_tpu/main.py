@@ -353,7 +353,15 @@ def train(cfg, logger, exp_dir: str):
             else:
                 state, metrics = train_step(state, batch)
             n_steps += 1
-            if cfg.debug_nan and not np.isfinite(float(metrics["loss"])):
+            # NaN sentinel — ALWAYS on at log_freq granularity (the float()
+            # there is paid for logging anyway); `debug_nan` tightens it to
+            # every step. A diverged run must halt with a reproducer, not
+            # burn the rest of the schedule training NaN weights (round-4
+            # postmortem; the reference's own loop is unguarded,
+            # pytorch/tool/train.py:325 — we do better).
+            if (cfg.debug_nan or (i + 1) % cfg.log_freq == 0) and not np.isfinite(
+                float(metrics["loss"])
+            ):
                 from .train.debug import dump_nan_state
 
                 dump_nan_state(exp_dir, state, batch, metrics, logger)

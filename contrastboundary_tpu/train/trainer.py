@@ -43,6 +43,10 @@ class TrainStepConfig:
     # models/heads/head.py:273-274); harmless to thread when no Dropout
     # module exists
     has_dropout: bool = False
+    # opt-in training-dynamics instrumentation: adds grad/param global norms
+    # to the step metrics (used by the NaN root-cause harness,
+    # scripts/nan_bisect.py — round-5 VERDICT item 1)
+    debug_metrics: bool = False
 
 
 def make_train_step(model, cfg: TrainStepConfig) -> Callable:
@@ -144,6 +148,11 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
         grads, (new_bs, metrics, conf) = jax.grad(loss_fn, has_aux=True)(
             state.params
         )
+        if cfg.debug_metrics:
+            import optax
+
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["param_norm"] = optax.global_norm(state.params)
         new_state = state.apply_gradients(grads, new_bs)
         metrics["confusion"] = conf
         return new_state, metrics

@@ -142,6 +142,21 @@ def train(seed: int, arm: str):
         lv = float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses])))
         print(f"[train {arm} s{seed}] epoch {epoch}: loss {lv:.4f} "
               f"({time.time()-t0:.0f}s)", flush=True)
+        if not np.isfinite(lv):
+            # round-5 sentinel: halt the arm at the first non-finite epoch
+            # mean — never let a diverged run reach the checkpoint save
+            # (round-4 postmortem: seed-1 fast saved a 99.8%-NaN pickle).
+            raise FloatingPointError(
+                f"[train {arm} s{seed}] non-finite epoch-{epoch} loss; "
+                "arm aborted (see scripts/nan_bisect.py for root-causing)"
+            )
+    from contrastboundary_tpu.train.debug import tree_finite
+
+    if not (tree_finite(state.params) and tree_finite(state.batch_stats)):
+        raise FloatingPointError(
+            f"[train {arm} s{seed}] non-finite weights at save time; "
+            "refusing to write checkpoint"
+        )
     os.makedirs(CKPT_DIR, exist_ok=True)
     with open(ckpt_path(seed, arm), "wb") as f:
         pickle.dump(

@@ -20,6 +20,14 @@ def main(path="results/parity_ckpt.jsonl"):
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
+                if rec.get("full_mIoU", 1.0) < 0.1:
+                    # collapsed/diverged arm (e.g. a NaN checkpoint evaluates
+                    # at chance level) — averaging it in would silently
+                    # poison the campaign stats (round-4 postmortem).
+                    print(f"WARNING: dropping collapsed row (mIoU "
+                          f"{rec['full_mIoU']:.4f}): seed {rec['seed']} "
+                          f"{rec['train_arm']}->{rec['eval_arm']}")
+                    continue
                 by_seed[rec["seed"]][(rec["train_arm"], rec["eval_arm"])] = rec
     except FileNotFoundError:
         print("no results yet"), sys.exit(0)
