@@ -137,12 +137,23 @@ def parse_mlp_ops(ops: str) -> dict:
     depth = latent-tower depth (f_out → latent, '2-xen' = 2 layers),
     loss ∈ xen | sigmoid | none, 'dp<p>' = dropout on the latent
     (applied at models/heads/head.py:273-274), 'w<f>' = float loss weight.
-    The reference's 'class'/'center' re-weighting (get_class_weight with
-    dataset-specific tables) is not wired — raise explicitly."""
+
+    'class' = per-class loss re-weighting. The reference grammar accepts it
+    (config/head.py:71) and dispatches to `get_class_weight(config.dataset,
+    labels)` at models/heads/head.py:326 — but that function is UNDEFINED
+    anywhere in the reference (the call would NameError; the only related
+    code is a commented-out potential update, datasets/base.py:513). We give
+    the token working semantics: inverse-frequency weights from the train
+    split's label histogram (losses/segmentation.py::
+    inverse_frequency_weights), the standard class-imbalance recipe.
+    'center' stays raising — it shares the same dead reference symbol and
+    has no recoverable semantics (no geometry is available at the loss
+    site)."""
     tokens = ops.split("-")
     if tokens and tokens[0] == "mlp":
         tokens = tokens[1:]
-    out = {"depth": 1, "loss": "xen", "drop": None, "weight": 1.0}
+    out = {"depth": 1, "loss": "xen", "drop": None, "weight": 1.0,
+           "class_weight": False}
     for t in tokens:
         if not t:
             continue
@@ -154,10 +165,13 @@ def parse_mlp_ops(ops: str) -> dict:
             out["drop"] = float(_DROP_RE.match(t).group(1))
         elif _WEIGHT_RE.match(t):
             out["weight"] = float(_WEIGHT_RE.match(t).group(1))
-        elif t in ("class", "center"):
+        elif t == "class":
+            out["class_weight"] = True
+        elif t == "center":
             raise NotImplementedError(
-                f"mlp-head weight {t!r} (reference get_class_weight, "
-                "tensorflow/models/heads/head.py:318-327) is not wired"
+                "mlp-head weight 'center': dead grammar — the reference "
+                "dispatches to get_class_weight (tensorflow/models/heads/"
+                "head.py:326) which is undefined in the reference codebase"
             )
         elif t == "pred":
             pass  # parsed and ignored, like the reference (config/head.py:81)

@@ -62,6 +62,29 @@ def sigmoid_cross_entropy(
     return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def inverse_frequency_weights(counts, power: float = 0.5):
+    """Per-class loss weights from train-split label counts: w_c ∝
+    1/freq_c^power (power 0.5 = inverse-sqrt, the standard imbalance
+    recipe), normalized to mean 1 over PRESENT classes so the re-weighted
+    loss keeps the unweighted loss's scale; absent classes get weight 1.
+
+    Backs the mlp-head 'class' token. The reference's own dispatch
+    (tensorflow/models/heads/head.py:326 → get_class_weight) is an
+    undefined symbol there — these are the semantics we give it.
+    Returns a plain tuple (hashable → usable in TrainStepConfig)."""
+    import numpy as np
+
+    counts = np.asarray(counts, np.float64)
+    present = counts > 0
+    if not present.any():
+        return tuple(np.ones_like(counts))
+    freq = counts / counts[present].sum()
+    w = np.ones_like(counts)
+    w[present] = 1.0 / np.power(freq[present], power)
+    w[present] /= w[present].mean()
+    return tuple(float(x) for x in w)
+
+
 def soft_cross_entropy(logits: jax.Array, soft_labels: jax.Array) -> jax.Array:
     """Cross-entropy against a soft label distribution — the reference's
     downsampled-stage supervision (tensorflow/models/heads/head.py:303-317:

@@ -68,6 +68,25 @@ def setup(cfg, logger):
     spec = cfg.pyramid_spec()
     multi = cfg.heads.get("multi", {})
     mlp = cfg.heads.get("mlp", {})
+    class_weights = None
+    if mlp.get("class_weight"):
+        # mlp-head 'class' token: inverse-frequency weights from the train
+        # split's label histogram (semantics note in config/dsl.py —
+        # the reference's get_class_weight is an undefined symbol there)
+        from .losses.segmentation import inverse_frequency_weights
+
+        ds = build_dataset(cfg, "train")
+        counts = np.zeros(cfg.data.num_classes, np.int64)
+        for i in range(min(ds.num_rooms, 64)):  # histogram estimate cap
+            lab = ds.room(i)[2]
+            counts += np.bincount(
+                lab[lab >= 0].astype(np.int64), minlength=cfg.data.num_classes
+            )
+        class_weights = inverse_frequency_weights(counts)
+        logger.info(
+            "class weights (inv-sqrt-freq): "
+            + " ".join(f"{w:.3f}" for w in class_weights)
+        )
     step_cfg = TrainStepConfig(
         num_classes=cfg.data.num_classes,
         spec=spec,
@@ -78,6 +97,7 @@ def setup(cfg, logger):
         main_loss=mlp.get("loss", "xen"),
         main_weight=mlp.get("weight", 1.0),
         has_dropout=bool(mlp.get("drop")),
+        class_weights=class_weights,
     )
 
     train_ds = build_dataset(cfg, "train")

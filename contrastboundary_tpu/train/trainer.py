@@ -39,6 +39,9 @@ class TrainStepConfig:
     # at models/heads/head.py:197-244)
     main_loss: str = "xen"  # xen | sigmoid | none
     main_weight: float = 1.0
+    # per-class weights for the main xen loss (mlp-head 'class' token;
+    # losses/segmentation.py::inverse_frequency_weights). Tuple → hashable.
+    class_weights: Optional[tuple] = None
     # latent dropout needs a PRNG stream (reference dropout at
     # models/heads/head.py:273-274); harmless to thread when no Dropout
     # module exists
@@ -86,7 +89,13 @@ def make_train_step(model, cfg: TrainStepConfig) -> Callable:
             elif cfg.main_loss == "none":
                 ce = jnp.float32(0.0)
             else:
-                ce = cross_entropy(out.logits, labels, cfg.ignore_label)
+                pw = None
+                if cfg.class_weights is not None:
+                    table = jnp.asarray(cfg.class_weights, jnp.float32)
+                    pw = table[jnp.clip(labels, 0, len(table) - 1)]
+                ce = cross_entropy(
+                    out.logits, labels, cfg.ignore_label, weight=pw
+                )
             total = cfg.main_weight * ce
             metrics = {"ce": ce}
             if cfg.branch_loss and any(

@@ -118,9 +118,15 @@ def train(seed: int, arm: str):
     lr = multistep_epoch_decay(
         0.5, [0.6 * EPOCHS, 0.8 * EPOCHS], 0.1, steps_per_epoch
     )
+    clip = os.environ.get("PARITY_CLIP", "")
     state = create_train_state(
-        variables, make_optimizer(lr, momentum=0.9, weight_decay=1e-4)
+        variables,
+        make_optimizer(lr, momentum=0.9, weight_decay=1e-4,
+                       grad_clip_norm=float(clip) if clip else None),
     )
+    if clip:
+        print(f"[train {arm} s{seed}] grad clip {clip} (PARITY_CLIP)",
+              flush=True)
     train_step = make_train_step(model, cfg)
     transform = default_train_transform()
     for epoch in range(EPOCHS):

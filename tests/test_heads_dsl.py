@@ -322,16 +322,19 @@ def test_mlp_head_grammar():
     from contrastboundary_tpu.config.dsl import parse_mlp_ops
 
     d = parse_mlp_ops("2-xen-dp.5")
-    assert d == {"depth": 2, "loss": "xen", "drop": 0.5, "weight": 1.0}
+    assert d == {"depth": 2, "loss": "xen", "drop": 0.5, "weight": 1.0,
+                 "class_weight": False}
     d = parse_mlp_ops("mlp-3-sigmoid-w.2")
     assert d["depth"] == 3 and d["loss"] == "sigmoid"
     assert d["weight"] == pytest.approx(0.2) and d["drop"] is None
     assert parse_mlp_ops("1-none")["loss"] == "none"
     assert parse_mlp_ops("1-xen-dp0.3")["drop"] == pytest.approx(0.3)
     assert parse_mlp_ops("1-xen-pred")["loss"] == "xen"  # 'pred' ignored
-    # 'class'/'center' re-weighting is unwired — loud failure, not silence
+    # 'class' re-weighting is wired (round 5); 'center' remains dead
+    # grammar (the reference's get_class_weight is undefined — loud failure)
+    assert parse_mlp_ops("2-xen-class")["class_weight"] is True
     with pytest.raises(NotImplementedError):
-        parse_mlp_ops("2-xen-class")
+        parse_mlp_ops("2-xen-center")
     with pytest.raises(ValueError):
         parse_mlp_ops("2-xen-banana")
     heads = parse_arch_out("pospool|2-xen-dp.5")
@@ -438,3 +441,38 @@ def test_mlp_head_train_step_weight_and_dropout(rng):
         results[w] = (float(metrics["ce"]), float(metrics["loss"]))
     assert results[1.0][0] == pytest.approx(results[0.25][0], rel=1e-5)
     assert results[0.25][1] == pytest.approx(0.25 * results[0.25][0], rel=1e-5)
+
+
+def test_class_weighting_applied():
+    """The 'class' token's inverse-frequency weights change the CE in the
+    expected direction: up-weighting a class raises the loss contribution of
+    its mistakes. Pure-loss check (no model) + weight-table properties."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from contrastboundary_tpu.losses.segmentation import (
+        cross_entropy, inverse_frequency_weights,
+    )
+
+    counts = np.array([900, 90, 10, 0])  # class 3 absent
+    w = inverse_frequency_weights(counts)
+    assert len(w) == 4 and w[3] == 1.0
+    assert w[2] > w[1] > w[0]  # rarer -> heavier
+    present = np.array(w[:3])
+    np.testing.assert_allclose(present.mean(), 1.0, rtol=1e-6)
+
+    logits = jnp.asarray([[2.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 2.0]])
+    labels = jnp.asarray([0, 1, 2])
+    table = jnp.asarray([1.0, 1.0, 5.0])
+    pw = table[jnp.clip(labels, 0, 2)]
+    base = float(cross_entropy(logits[None], labels[None]))
+    # all rows equally confident => weighting present classes equally == base
+    np.testing.assert_allclose(
+        float(cross_entropy(logits[None], labels[None],
+                            weight=jnp.ones(3)[None])), base, rtol=1e-6)
+    # now make class-2's row WRONG: its up-weighted CE must exceed the
+    # uniformly-weighted CE of the same prediction
+    bad = logits.at[2].set(jnp.asarray([2.0, 0.0, 0.0]))
+    lw = float(cross_entropy(bad[None], labels[None], weight=pw[None]))
+    lu = float(cross_entropy(bad[None], labels[None]))
+    assert lw > lu
