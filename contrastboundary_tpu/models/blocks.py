@@ -186,7 +186,8 @@ class PointTransformerLayer(nn.Module):
             from ..ops.pallas.pt_attn import pt_attn_ok
 
             use_kernel = pt_attn_ok(
-                local[0], local[1], nb_idx.shape[-1], c, s, self.dtype
+                local[0], local[1], nb_idx.shape[-1], c, s, self.dtype,
+                n=x.shape[1],
             )
         if use_kernel:
             import os

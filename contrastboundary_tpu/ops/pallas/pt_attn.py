@@ -43,9 +43,13 @@ def _starts_np(num_tiles: int, width: int, window: int) -> np.ndarray:
     return np.clip(np.arange(num_tiles) - window, 0, num_tiles - width)
 
 
-def _window_specs(width, window, num_tiles, tile, lanes):
+def _window_specs(width, window, num_tiles, tile, lanes, sub=1):
     """One [1, T, lanes] block per window slot, start clipped per tile —
-    identical pattern to cbl_tile2._window_specs."""
+    identical pattern to cbl_tile2._window_specs.
+
+    `sub` > 1: the grid iterates SUB-tiles (tile // sub rows per cell, round
+    5) to bound VMEM at wide C; window blocks keep the full index-tile shape
+    and map through the sub-tile's parent index tile (gg // sub)."""
     specs = []
     for j in range(width):
         specs.append(
@@ -54,7 +58,7 @@ def _window_specs(width, window, num_tiles, tile, lanes):
                 functools.partial(
                     lambda bb, gg, j=0: (
                         bb,
-                        jnp.clip(gg - window, 0, num_tiles - width) + j,
+                        jnp.clip(gg // sub - window, 0, num_tiles - width) + j,
                         0,
                     ),
                     j=j,
@@ -96,6 +100,47 @@ def _neighbor_kv(li_col, kv_win, iota_w):
     )
 
 
+def _gather_rows(li, win, tile, k, wsz, gchunk):
+    """K-batched one-hot gather, VMEM-bounded: the [K·T, W] one-hot is
+    materialized in chunks of `gchunk` k-slots (round 5 — the full one-hot
+    at K=16, W=768 alone is ~6 MB and was the scoped-VMEM OOM driver at
+    wide C). Returns [K·T, lanes(win)] f32, k-major rows."""
+    outs = []
+    prec = None if win.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    for k0 in range(0, k, gchunk):
+        cols = [li[:, kk][:, None] for kk in range(k0, min(k0 + gchunk, k))]
+        li_c = jnp.concatenate(cols, axis=0)  # [chunk·T, 1]
+        iota = lax.broadcasted_iota(jnp.int32, (li_c.shape[0], wsz), 1)
+        oh = (li_c == iota).astype(win.dtype)
+        outs.append(
+            lax.dot_general(
+                oh, win, (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _scatter_rows(li, rows, tile, k, wsz, gchunk):
+    """Transposed chunked one-hot: [K·T, C] row grads → [W, C] window grads
+    (the backward of _gather_rows)."""
+    acc = None
+    for k0 in range(0, k, gchunk):
+        kc = min(k0 + gchunk, k) - k0
+        cols = [li[:, kk][:, None] for kk in range(k0, k0 + kc)]
+        li_c = jnp.concatenate(cols, axis=0)
+        iota = lax.broadcasted_iota(jnp.int32, (li_c.shape[0], wsz), 1)
+        oh = (li_c == iota).astype(jnp.float32)
+        part = lax.dot_general(
+            oh, rows[k0 * tile : (k0 + kc) * tile],
+            (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _tower(w_pre, g1, h1, w3, b3, g2, h2, w4, b4):
     """Folded weight tower: bn1→relu→fc1→bn2→relu→fc2 with the stale-BN
     affines (g, h) baked in (models/blocks.py:84-89). Returns (w4_out [T,Cs],
@@ -114,7 +159,7 @@ def _pe(rel_k, a1, c1, w2, b2):
     return _matmul(jnp.maximum(pe1, 0.0), w2) + b2
 
 
-def _fwd_kernel(*refs, width, tile, k, c, cs, shares):
+def _fwd_kernel(*refs, width, tile, k, c, cs, shares, wsz, gchunk):
     (
         kv_wins, q_ref, rel_ref, li_ref,
         a1, c1, w2, b2, g1, h1, w3, b3, g2, h2, w4, b4,
@@ -124,7 +169,7 @@ def _fwd_kernel(*refs, width, tile, k, c, cs, shares):
         *refs[width + 3 : width + 15],
         refs[width + 15], refs[width + 16], refs[width + 17],
     )
-    w_sz = width * tile
+    w_sz = wsz
     kv_win = jnp.concatenate([r[0] for r in kv_wins], axis=0)  # [W, 2C]
     q = q_ref[0].astype(jnp.float32)
     rel = rel_ref[0]  # [T, K*3]
@@ -183,7 +228,7 @@ def _fwd_kernel(*refs, width, tile, k, c, cs, shares):
     )
 
 
-def _fwd_kernel_b(*refs, width, tile, k, c, cs, shares):
+def _fwd_kernel_b(*refs, width, tile, k, c, cs, shares, wsz, gchunk):
     """K-batched forward body (round-4 redesign, PERF.md): the per-k variant
     spends its time in K separate [T, ·] ops whose [T, Cs≤64] operands use a
     few percent of the VPU lanes and whose [T, W] gather matmuls under-fill
@@ -204,7 +249,7 @@ def _fwd_kernel_b(*refs, width, tile, k, c, cs, shares):
         *refs[width + 3 : width + 15],
         refs[width + 15], refs[width + 16], refs[width + 17],
     )
-    w_sz = width * tile
+    w_sz = wsz
     kv_win = jnp.concatenate([r[0] for r in kv_wins], axis=0)  # [W, 2C]
     q = q_ref[0].astype(jnp.float32)
     rel = rel_ref[0]  # [T, K*3]
@@ -216,17 +261,10 @@ def _fwd_kernel_b(*refs, width, tile, k, c, cs, shares):
     ]
     a1v, c1v, w2v, b2v, g1v, h1v, w3v, b3v, g2v, h2v, w4v, b4v = ps
 
-    kt = k * tile
     li_all = jnp.concatenate(
         [li[:, kk][:, None] for kk in range(k)], axis=0
     )  # [K·T, 1], k-major rows
-    iota_w = lax.broadcasted_iota(jnp.int32, (kt, w_sz), 1)
-    oh = (li_all == iota_w).astype(kv_win.dtype)
-    prec = None if kv_win.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
-    kv_all = lax.dot_general(
-        oh, kv_win, (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32,
-    )  # [K·T, 2C]
+    kv_all = _gather_rows(li, kv_win, tile, k, w_sz, gchunk)  # [K·T, 2C]
     k_all, v_all = kv_all[:, :c], kv_all[:, c:]
     rel_all = jnp.concatenate(
         [rel[:, kk * 3 : kk * 3 + 3] for kk in range(k)], axis=0
@@ -286,37 +324,70 @@ def _common_inputs(q, kv, rel, li, params):
     return (kv, q, rel2, li) + tuple(params), (b, m, c, k)
 
 
+_VMEM_BUDGET = 9 * 2**20  # conservative share of the ~16 MB scoped VMEM
+
+
+def _pick_subtile(tile, width, k, c, bwd):
+    """Rows per grid cell (round 5): the batched bodies keep ~6 (fwd) / ~12
+    (bwd) [K·rows, C]-class f32 live values; at wide C the full index tile
+    blows scoped VMEM (the round-4 'wider-C 500' class). Halve the per-cell
+    rows until the estimate fits; window blocks stay index-tile sized.
+    PT_ATTN_SUBTILE overrides (A/B + regression hook)."""
+    import os
+
+    env = os.environ.get("PT_ATTN_SUBTILE", "")
+    if env:
+        return max(8, min(int(env), tile))
+    st = tile
+    live = 12 if bwd else 6
+    fixed = width * tile * 2 * c * 4 * (2 if bwd else 1)  # win (+dkv) blocks
+    while st > 8 and live * k * st * c * 4 + fixed + 2 * 2**20 > _VMEM_BUDGET:
+        st //= 2
+    return st
+
+
+def _pick_gchunk(st, wsz, k):
+    """k-slots per one-hot chunk so each [chunk·st, W] one-hot stays ≤2 MB."""
+    return max(1, min(k, (2 * 2**20) // max(st * wsz * 4, 1)))
+
+
 def _fwd_call(q, kv, rel, li, params, tile, width, window, shares, interpret):
     (kv_a, q_a, rel_a, li_a, *ps), (b, m, c, k) = _common_inputs(
         q, kv, rel, li, params
     )
     g = m // tile
     cs = c // shares
+    wsz = width * tile
+    st = _pick_subtile(tile, width, k, c, bwd=False)
+    sub = tile // st
+    g2 = m // st
+    gchunk = _pick_gchunk(st, wsz, k)
     kern = functools.partial(
         _fwd_kernel_b if _impl_batched() else _fwd_kernel,
-        width=width, tile=tile, k=k, c=c, cs=cs, shares=shares,
+        width=width, tile=st, k=k, c=c, cs=cs, shares=shares,
+        wsz=wsz, gchunk=gchunk,
     )
     in_specs = (
-        _window_specs(width, window, g, tile, 2 * c)
-        + [_tile_spec(tile, c), _tile_spec(tile, k * 3),
-           _tile_spec(tile, k)]
+        _window_specs(width, window, g, tile, 2 * c, sub)
+        + [_tile_spec(st, c), _tile_spec(st, k * 3),
+           _tile_spec(st, k)]
         + [_param_spec()] * len(ps)
     )
     out, s1, s2 = pl.pallas_call(
         kern,
-        grid=(b, g),
+        grid=(b, g2),
         in_specs=in_specs,
         out_specs=(
-            _tile_spec(tile, c),
-            pl.BlockSpec((1, 8, c), lambda bb, gg: (bb * g + gg, 0, 0),
+            _tile_spec(st, c),
+            pl.BlockSpec((1, 8, c), lambda bb, gg: (bb * g2 + gg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, cs), lambda bb, gg: (bb * g + gg, 0, 0),
+            pl.BlockSpec((1, 8, cs), lambda bb, gg: (bb * g2 + gg, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, m, c), q.dtype),
-            jax.ShapeDtypeStruct((b * g, 8, c), jnp.float32),
-            jax.ShapeDtypeStruct((b * g, 8, cs), jnp.float32),
+            jax.ShapeDtypeStruct((b * g2, 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((b * g2, 8, cs), jnp.float32),
         ),
         interpret=interpret,
     )(*([kv_a] * width + [q_a, rel_a, li_a] + list(ps)))
@@ -366,7 +437,8 @@ def pt_attn_reference(q, kv, rel, li, params, tile, width, shares):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(*refs, width, tile, k, c, cs, shares, window, num_tiles):
+def _bwd_kernel(*refs, width, tile, k, c, cs, shares, window, num_tiles,
+                wsz, gchunk):
     (
         kv_wins, q_ref, rel_ref, li_ref,
         a1, c1, w2, b2, g1, h1, w3, b3, g2, h2, w4, b4,
@@ -378,7 +450,7 @@ def _bwd_kernel(*refs, width, tile, k, c, cs, shares, window, num_tiles):
         refs[width + 15],
         refs[width + 16], refs[width + 17], refs[width + 18],
     )
-    w_sz = width * tile
+    w_sz = wsz
     kv_win = jnp.concatenate([r[0] for r in kv_wins], axis=0)
     q = q_ref[0].astype(jnp.float32)
     rel = rel_ref[0]
@@ -537,8 +609,9 @@ def _bwd_kernel(*refs, width, tile, k, c, cs, shares, window, num_tiles):
         dW2, db2, dA1, dc1 = pe_bwd(kk, dwpre, dW2, db2, dA1, dc1)
 
     # ---- stores (per-slot 2-D values — the cbl_tile2-proven pattern) ----
+    it = wsz // width  # index-tile rows (= tile unless sub-tiled)
     for j in range(width):
-        dkv_ref[0, 0, j] = acc_dkv[j * tile : (j + 1) * tile]
+        dkv_ref[0, 0, j] = acc_dkv[j * it : (j + 1) * it]
     dq_ref[0] = dq_acc
     # param grads, packed into one [rows, c] f32 block (c >= cs >= 3):
     # rows: dA1(3) dc1(1) dW2(3) db2(1) dg1(1) dh1(1) dW3(c) db3(1) dg2(1)
@@ -556,7 +629,8 @@ def _bwd_kernel(*refs, width, tile, k, c, cs, shares, window, num_tiles):
     )
 
 
-def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles):
+def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles,
+                  wsz, gchunk):
     """K-batched backward body (see _fwd_kernel_b). Everything the per-k
     variant recomputed three times per k is materialized once over [K·T, ·]
     rows; every param-grad accumulation is a single row-contracted matmul,
@@ -573,8 +647,7 @@ def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles):
         refs[width + 15],
         refs[width + 16], refs[width + 17], refs[width + 18],
     )
-    w_sz = width * tile
-    kt = k * tile
+    w_sz = wsz
     kv_win = jnp.concatenate([r[0] for r in kv_wins], axis=0)
     q = q_ref[0].astype(jnp.float32)
     rel = rel_ref[0]
@@ -591,13 +664,7 @@ def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles):
     li_all = jnp.concatenate(
         [li[:, kk][:, None] for kk in range(k)], axis=0
     )  # [K·T, 1]
-    iota_w = lax.broadcasted_iota(jnp.int32, (kt, w_sz), 1)
-    oh = (li_all == iota_w).astype(kv_win.dtype)
-    prec = None if kv_win.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
-    kv_all = lax.dot_general(
-        oh, kv_win, (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32,
-    )
+    kv_all = _gather_rows(li, kv_win, tile, k, w_sz, gchunk)  # [K·T, 2C]
     k_all, v_all = kv_all[:, :c], kv_all[:, c:]
     rel_all = jnp.concatenate(
         [rel[:, kk * 3 : kk * 3 + 3] for kk in range(k)], axis=0
@@ -669,13 +736,9 @@ def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles):
     for kk in range(1, k):
         dq_sum = dq_sum + dwpre[kk * tile : (kk + 1) * tile]
 
-    # ---- dkv window scatter: one transposed one-hot matmul ----
-    ohf = (li_all == iota_w).astype(jnp.float32)
-    acc_dkv = lax.dot_general(
-        ohf, jnp.concatenate([dwpre, dvpe], axis=1),
-        (((0,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    # ---- dkv window scatter: transposed one-hot matmuls (chunked) ----
+    acc_dkv = _scatter_rows(
+        li, jnp.concatenate([dwpre, dvpe], axis=1), tile, k, w_sz, gchunk
     )  # [W, 2C]
 
     # ---- PE param grads (both pe consumers: w_pre and vpe) ----
@@ -686,8 +749,9 @@ def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles):
     dA1 = rowdot(rel_all, dr_pe)
     dc1 = jnp.sum(dr_pe, axis=0, keepdims=True)
 
+    it = wsz // width  # index-tile rows (= tile unless sub-tiled)
     for j in range(width):
-        dkv_ref[0, 0, j] = acc_dkv[j * tile : (j + 1) * tile]
+        dkv_ref[0, 0, j] = acc_dkv[j * it : (j + 1) * it]
     dq_ref[0] = -dq_sum
 
     def padc(x):
@@ -710,41 +774,48 @@ def _bwd_call(q, kv, rel, li, params, g_out, tile, width, window, shares,
     )
     g = m // tile
     cs = c // shares
+    wsz = width * tile
+    st = _pick_subtile(tile, width, k, c, bwd=True)
+    sub = tile // st
+    g2 = m // st
+    gchunk = _pick_gchunk(st, wsz, k)
     kern = functools.partial(
         _bwd_kernel_b if _impl_batched() else _bwd_kernel,
-        width=width, tile=tile, k=k, c=c, cs=cs, shares=shares,
-        window=window, num_tiles=g,
+        width=width, tile=st, k=k, c=c, cs=cs, shares=shares,
+        window=window, num_tiles=g, wsz=wsz, gchunk=gchunk,
     )
     in_specs = (
-        _window_specs(width, window, g, tile, 2 * c)
-        + [_tile_spec(tile, c), _tile_spec(tile, k * 3),
-           _tile_spec(tile, k)]
+        _window_specs(width, window, g, tile, 2 * c, sub)
+        + [_tile_spec(st, c), _tile_spec(st, k * 3),
+           _tile_spec(st, k)]
         + [_param_spec()] * len(ps)
-        + [_tile_spec(tile, c)]  # g_out
+        + [_tile_spec(st, c)]  # g_out
     )
     prows = 3 + 1 + 3 + 1 + 1 + 1 + c + 1 + 1 + 1 + cs + 1
     dkv_win, dq, dp = pl.pallas_call(
         kern,
-        grid=(b, g),
+        grid=(b, g2),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, width, tile, 2 * c),
                          lambda bb, gg: (bb, gg, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            _tile_spec(tile, c),
-            pl.BlockSpec((1, prows, c), lambda bb, gg: (bb * g + gg, 0, 0),
+            _tile_spec(st, c),
+            pl.BlockSpec((1, prows, c), lambda bb, gg: (bb * g2 + gg, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, g, width, tile, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((b, g2, width, tile, 2 * c), jnp.float32),
             jax.ShapeDtypeStruct((b, m, c), jnp.float32),
-            jax.ShapeDtypeStruct((b * g, prows, c), jnp.float32),
+            jax.ShapeDtypeStruct((b * g2, prows, c), jnp.float32),
         ),
         interpret=interpret,
     )(*([kv_a] * width + [q_a, rel_a, li_a] + list(ps) + [g_out]))
 
-    # overlap-add the per-slot window grads back onto rows (cbl_tile2 pattern)
-    starts = _starts_np(g, width, window)
+    # overlap-add the per-slot window grads back onto rows (cbl_tile2
+    # pattern); with sub-tiling several grid cells target the same index
+    # tile — .at[].add sums duplicates by scatter-add semantics
+    starts = np.clip(np.arange(g2) // sub - window, 0, g - width)
     dkv = jnp.zeros((b, g, tile, 2 * c), jnp.float32)
     for j in range(width):
         dkv = dkv.at[:, starts + j].add(dkv_win[:, :, j])
@@ -822,7 +893,7 @@ _PROBED: dict = {}
 
 
 def pt_attn_ok(tile: int, width: int, k: int, c: int, shares: int,
-               dtype) -> bool:
+               dtype, n: int = 0) -> bool:
     import os
     import warnings
 
@@ -840,7 +911,8 @@ def pt_attn_ok(tile: int, width: int, k: int, c: int, shares: int,
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     key = (tile, width, k, c, shares, jnp.dtype(dtype).name,
-           _impl_batched())
+           _impl_batched(),
+           _pick_subtile(tile, width, k, c, bwd=True), n)
     if key in _PROBED:
         return _PROBED[key]
 
@@ -851,11 +923,12 @@ def pt_attn_ok(tile: int, width: int, k: int, c: int, shares: int,
     setup_tpu_flags()
 
     cs = c // shares
-    # g > width so the window index maps VARY across grid cells: a g == width
-    # probe has constant (hoistable) block indices and compiled fine while
-    # the real multi-tile grid hit a scoped-VMEM OOM (round 4) — the probe
-    # must reproduce the real pipelining to be a trustworthy fallback gate
-    g = width + 2
+    # probe at the REAL level geometry when the caller passes its row count
+    # (round-4/5 lesson, same as cbl_dense: a reduced grid has constant
+    # (hoistable) window index maps and different pipelining — it passed
+    # where the real grid failed). Fallback: g > width so index maps vary.
+    g = n // tile if n else width + 2
+    g = max(g, width)
     m = g * tile
     rng = np.random.RandomState(0)
 

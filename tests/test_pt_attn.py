@@ -186,3 +186,47 @@ def flatget(tree, kp):
         if k == kp:
             return v
     raise KeyError(kp)
+
+
+def test_subtile_matches_reference(rng, monkeypatch):
+    """PT_ATTN_SUBTILE < tile (the round-5 VMEM bound for wide C): the grid
+    iterates sub-tiles while window blocks stay index-tile sized; outputs
+    and VJP must be identical to the full-tile kernel."""
+    monkeypatch.setenv("PT_ATTN_SUBTILE", "8")
+    tile2, g2 = 16, 3
+    m2 = tile2 * g2
+    w2 = tile2 * WIDTH
+    q = jnp.asarray(rng.randn(2, m2, C).astype(np.float32))
+    kv = jnp.asarray(rng.randn(2, m2, 2 * C).astype(np.float32))
+    rel = jnp.asarray(rng.randn(2, m2, K, 3).astype(np.float32))
+    li = rng.randint(0, w2, (2, m2, K)).astype(np.int32)
+    starts = np.clip(np.arange(g2) - WINDOW, 0, g2 - WIDTH)
+    li[:, :, 0] = (np.arange(m2) - np.repeat(starts * tile2, tile2))[None]
+    li[:, ::5, -1] = w2
+    li = jnp.asarray(li)
+    params = _params(rng)
+
+    out, s1, s2 = pt_attn(q, kv, rel, li, tile2, WIDTH, WINDOW, S, True,
+                          *params)
+    ref_out, ref_s1, ref_s2 = pt_attn_reference(
+        q, kv, rel, li, params, tile2, WIDTH, S
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1[0]), np.asarray(ref_s1[0]),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_k(q_, kv_, *ps):
+        o, _, _ = pt_attn(q_, kv_, rel, li, tile2, WIDTH, WINDOW, S, True,
+                          *ps)
+        return jnp.sum(o * o)
+
+    def loss_r(q_, kv_, *ps):
+        o, _, _ = pt_attn_reference(q_, kv_, rel, li, ps, tile2, WIDTH, S)
+        return jnp.sum(o * o)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 8))(q, kv, *params)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 8))(q, kv, *params)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
