@@ -359,11 +359,12 @@ def tile_self_knn(
             # fused Pallas kernel: all k exact argmax passes on the VMEM
             # distance tile — no per-pass HBM re-read, no sort. Bit-identical
             # to the paths below (first-index ties).
-            from .pallas.win_topk import window_topk
+            from .pallas.win_topk import auto_split, window_topk
 
             ci, neg = window_topk(
                 sorted_pts, sorted_pts, k, tile=tile, width=width,
                 window=window, mode=mode, interpret=interp,
+                split=auto_split(g, "WIN_TOPK_SPLIT"),
             )
             local_idx = jnp.where(jnp.isinf(neg), w_sz, ci)
             return order, local_idx, width
@@ -489,11 +490,12 @@ def tile_cross_knn(
     if w_sz <= _EXACT_TOPK_WIDTH and k_eff == k:
         use, interp = _use_win_topk(tile, width, k, "plain", window, gq, gs)
         if use:
-            from .pallas.win_topk import window_topk
+            from .pallas.win_topk import auto_split, window_topk
 
             ci, neg = window_topk(
                 query, support, k, tile=tile, width=width, window=window,
                 mode="plain", gs=gs, interpret=interp,
+                split=auto_split(gq, "WIN_TOPK_SPLIT"),
             )
             gi = jnp.repeat(starts_j, tile)[None, :, None] + ci
             idx = jnp.where(jnp.isinf(neg), n, gi)

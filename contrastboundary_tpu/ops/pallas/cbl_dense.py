@@ -65,7 +65,13 @@ def _starts_np(num_tiles: int, width: int, window: int) -> np.ndarray:
     return np.clip(np.arange(num_tiles) - window, 0, num_tiles - width)
 
 
-def _window_specs(width, window, num_tiles, tile, lanes):
+def _window_specs(width, window, num_tiles, tile, lanes, split=1):
+    """Grid-split aware (ops/pallas/win_topk.py::auto_split): on grid
+    (b·split, g/split) cell (bb, gg) owns batch bb//split and flat tile
+    (bb%split)·(g/split)+gg — bit-exact re-partition that keeps the minor
+    grid dim ≤64 (the preset shape's 256-cell dim deterministically 500s
+    in the remote Mosaic helper; VERDICT round-4 item 4)."""
+    gsub = num_tiles // split
     specs = []
     for j in range(width):
         specs.append(
@@ -73,8 +79,11 @@ def _window_specs(width, window, num_tiles, tile, lanes):
                 (1, tile, lanes),
                 functools.partial(
                     lambda bb, gg, j=0: (
-                        bb,
-                        jnp.clip(gg - window, 0, num_tiles - width) + j,
+                        bb // split,
+                        jnp.clip(
+                            (bb % split) * gsub + gg - window,
+                            0, num_tiles - width,
+                        ) + j,
                         0,
                     ),
                     j=j,
@@ -85,9 +94,16 @@ def _window_specs(width, window, num_tiles, tile, lanes):
     return specs
 
 
-def _tile_spec(tile, lanes):
+def _tile_spec(tile, lanes, split=1, gsub=None):
+    if split == 1:
+        return pl.BlockSpec(
+            (1, tile, lanes), lambda bb, gg: (bb, gg, 0),
+            memory_space=pltpu.VMEM,
+        )
     return pl.BlockSpec(
-        (1, tile, lanes), lambda bb, gg: (bb, gg, 0), memory_space=pltpu.VMEM
+        (1, tile, lanes),
+        lambda bb, gg: (bb // split, (bb % split) * gsub + gg, 0),
+        memory_space=pltpu.VMEM,
     )
 
 
@@ -229,51 +245,58 @@ def _row_meta(label_soft):
 
 
 def _fwd_call(features, meta, li, temperature, tile, width, window,
-              interpret):
+              interpret, split):
     b, m, c = features.shape
     g = m // tile
+    gsub = g // split
     k = li.shape[-1]
     kern = functools.partial(
         _fwd_kernel, width=width, tile=tile, k=k, temperature=temperature
     )
     in_specs = (
-        _window_specs(width, window, g, tile, c)
-        + _window_specs(width, window, g, tile, 8)
-        + [_tile_spec(tile, c), _tile_spec(tile, 8), _tile_spec(tile, k)]
+        _window_specs(width, window, g, tile, c, split)
+        + _window_specs(width, window, g, tile, 8, split)
+        + [_tile_spec(tile, c, split, gsub), _tile_spec(tile, 8, split, gsub),
+           _tile_spec(tile, k, split, gsub)]
     )
     return pl.pallas_call(
         kern,
-        grid=(b, g),
+        grid=(b * split, gsub),
         in_specs=in_specs,
-        out_specs=_tile_spec(tile, 8),
+        out_specs=_tile_spec(tile, 8, split, gsub),
         out_shape=jax.ShapeDtypeStruct((b, m, 8), jnp.float32),
         interpret=interpret,
     )(*([features] * width + [meta] * width + [features, meta, li]))
 
 
 def _bwd_call(features, meta, li, g_stats, temperature, tile, width, window,
-              interpret):
+              interpret, split):
     b, m, c = features.shape
     g = m // tile
+    gsub = g // split
     k = li.shape[-1]
     kern = functools.partial(
         _bwd_kernel, width=width, tile=tile, k=k, temperature=temperature
     )
     in_specs = (
-        _window_specs(width, window, g, tile, c)
-        + _window_specs(width, window, g, tile, 8)
-        + [_tile_spec(tile, c), _tile_spec(tile, 8), _tile_spec(tile, k),
-           _tile_spec(tile, 8)]
+        _window_specs(width, window, g, tile, c, split)
+        + _window_specs(width, window, g, tile, 8, split)
+        + [_tile_spec(tile, c, split, gsub), _tile_spec(tile, 8, split, gsub),
+           _tile_spec(tile, k, split, gsub), _tile_spec(tile, 8, split, gsub)]
     )
     dq, dwin = pl.pallas_call(
         kern,
-        grid=(b, g),
+        grid=(b * split, gsub),
         in_specs=in_specs,
         out_specs=(
-            _tile_spec(tile, c),
-            pl.BlockSpec((1, 1, width, tile, c),
-                         lambda bb, gg: (bb, gg, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _tile_spec(tile, c, split, gsub),
+            pl.BlockSpec(
+                (1, 1, width, tile, c),
+                lambda bb, gg: (
+                    bb // split, (bb % split) * gsub + gg, 0, 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, m, c), jnp.float32),
@@ -290,28 +313,29 @@ def _bwd_call(features, meta, li, g_stats, temperature, tile, width, window,
     return dx.reshape(b, m, c).astype(features.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def cbl_dense_stats(features, meta, li, temperature, tile, width, window,
-                    interpret=False):
+                    interpret=False, split=1):
     """Per-point softnn statistics [B, M, 8]: lanes (m̂, Σpos e, Σ e,
     pos count, valid count, 0, 0, 0). features [B, M, C] f32 SORTED rows
     (pre-normalized for norml2); meta = _row_meta(label_soft);
     li [B, M, K] window-relative (shadow = width·tile)."""
     return _fwd_call(features, meta, li, temperature, tile, width, window,
-                     interpret)
+                     interpret, split)
 
 
 def _vjp_fwd(features, meta, li, temperature, tile, width, window,
-             interpret=False):
+             interpret=False, split=1):
     stats = _fwd_call(features, meta, li, temperature, tile, width, window,
-                      interpret)
+                      interpret, split)
     return stats, (features, meta, li)
 
 
-def _vjp_bwd(temperature, tile, width, window, interpret, res, g_stats):
+def _vjp_bwd(temperature, tile, width, window, interpret, split, res,
+             g_stats):
     features, meta, li = res
     dfeat = _bwd_call(features, meta, li, g_stats.astype(jnp.float32),
-                      temperature, tile, width, window, interpret)
+                      temperature, tile, width, window, interpret, split)
     return dfeat, None, None
 
 
@@ -324,9 +348,13 @@ def cbl_dense_loss(features, label_soft, li, temperature, tile, width,
     via the dense-window stats kernel. Mirrors the XLA tile path in
     losses/contrast.py::cbl_stage_loss exactly (same EPS placement, same
     point mask) — only the pos/under sums run in the kernel."""
+    from .win_topk import auto_split
+
     meta = _row_meta(label_soft)
+    split = auto_split(features.shape[1] // tile, "CBL_DENSE_SPLIT")
     stats = cbl_dense_stats(
-        features, meta, li, temperature, tile, width, window, interpret
+        features, meta, li, temperature, tile, width, window, interpret,
+        split,
     )
     pos = stats[:, :, 1]
     under = stats[:, :, 2]
@@ -360,7 +388,10 @@ def cbl_dense_ok(num_tiles: int, tile: int, width: int, window: int, k: int,
         return True
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    key = (num_tiles, tile, width, window, k, c)
+    from .win_topk import auto_split
+
+    key = (num_tiles, tile, width, window, k, c,
+           auto_split(num_tiles, "CBL_DENSE_SPLIT"))
     if key in _PROBED:
         return _PROBED[key]
 

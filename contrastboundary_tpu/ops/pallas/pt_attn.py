@@ -43,13 +43,20 @@ def _starts_np(num_tiles: int, width: int, window: int) -> np.ndarray:
     return np.clip(np.arange(num_tiles) - window, 0, num_tiles - width)
 
 
-def _window_specs(width, window, num_tiles, tile, lanes, sub=1):
+def _window_specs(width, window, num_tiles, tile, lanes, sub=1, split=1,
+                  gsub=None):
     """One [1, T, lanes] block per window slot, start clipped per tile —
     identical pattern to cbl_tile2._window_specs.
 
     `sub` > 1: the grid iterates SUB-tiles (tile // sub rows per cell, round
     5) to bound VMEM at wide C; window blocks keep the full index-tile shape
-    and map through the sub-tile's parent index tile (gg // sub)."""
+    and map through the sub-tile's parent index tile (cell // sub).
+    `split` > 1: grid (b·split, g2/split), cell (bb%split)·gsub+gg — the
+    bit-exact grid re-partition that keeps the minor grid dim ≤64
+    (ops/pallas/win_topk.py::auto_split; the preset shape's 256-cell dim
+    500s in the remote Mosaic helper)."""
+    if gsub is None:
+        gsub = (num_tiles * sub) // split
     specs = []
     for j in range(width):
         specs.append(
@@ -57,8 +64,11 @@ def _window_specs(width, window, num_tiles, tile, lanes, sub=1):
                 (1, tile, lanes),
                 functools.partial(
                     lambda bb, gg, j=0: (
-                        bb,
-                        jnp.clip(gg // sub - window, 0, num_tiles - width) + j,
+                        bb // split,
+                        jnp.clip(
+                            ((bb % split) * gsub + gg) // sub - window,
+                            0, num_tiles - width,
+                        ) + j,
                         0,
                     ),
                     j=j,
@@ -75,9 +85,16 @@ def _param_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-def _tile_spec(tile, lanes):
+def _tile_spec(tile, lanes, split=1, gsub=None):
+    if split == 1:
+        return pl.BlockSpec(
+            (1, tile, lanes), lambda bb, gg: (bb, gg, 0),
+            memory_space=pltpu.VMEM,
+        )
     return pl.BlockSpec(
-        (1, tile, lanes), lambda bb, gg: (bb, gg, 0), memory_space=pltpu.VMEM
+        (1, tile, lanes),
+        lambda bb, gg: (bb // split, (bb % split) * gsub + gg, 0),
+        memory_space=pltpu.VMEM,
     )
 
 
@@ -351,6 +368,12 @@ def _pick_gchunk(st, wsz, k):
     return max(1, min(k, (2 * 2**20) // max(st * wsz * 4, 1)))
 
 
+def _split_env(g2: int) -> int:
+    from .win_topk import auto_split
+
+    return auto_split(g2, "PT_ATTN_SPLIT")
+
+
 def _fwd_call(q, kv, rel, li, params, tile, width, window, shares, interpret):
     (kv_a, q_a, rel_a, li_a, *ps), (b, m, c, k) = _common_inputs(
         q, kv, rel, li, params
@@ -361,6 +384,8 @@ def _fwd_call(q, kv, rel, li, params, tile, width, window, shares, interpret):
     st = _pick_subtile(tile, width, k, c, bwd=False)
     sub = tile // st
     g2 = m // st
+    split = _split_env(g2)
+    gsub = g2 // split
     gchunk = _pick_gchunk(st, wsz, k)
     kern = functools.partial(
         _fwd_kernel_b if _impl_batched() else _fwd_kernel,
@@ -368,21 +393,23 @@ def _fwd_call(q, kv, rel, li, params, tile, width, window, shares, interpret):
         wsz=wsz, gchunk=gchunk,
     )
     in_specs = (
-        _window_specs(width, window, g, tile, 2 * c, sub)
-        + [_tile_spec(st, c), _tile_spec(st, k * 3),
-           _tile_spec(st, k)]
+        _window_specs(width, window, g, tile, 2 * c, sub, split, gsub)
+        + [_tile_spec(st, c, split, gsub), _tile_spec(st, k * 3, split, gsub),
+           _tile_spec(st, k, split, gsub)]
         + [_param_spec()] * len(ps)
     )
+
+    def flat(bb, gg):  # per-cell stat rows: flat cell index under the split
+        return ((bb // split) * g2 + (bb % split) * gsub + gg, 0, 0)
+
     out, s1, s2 = pl.pallas_call(
         kern,
-        grid=(b, g2),
+        grid=(b * split, gsub),
         in_specs=in_specs,
         out_specs=(
-            _tile_spec(st, c),
-            pl.BlockSpec((1, 8, c), lambda bb, gg: (bb * g2 + gg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, cs), lambda bb, gg: (bb * g2 + gg, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _tile_spec(st, c, split, gsub),
+            pl.BlockSpec((1, 8, c), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, cs), flat, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, m, c), q.dtype),
@@ -778,6 +805,8 @@ def _bwd_call(q, kv, rel, li, params, g_out, tile, width, window, shares,
     st = _pick_subtile(tile, width, k, c, bwd=True)
     sub = tile // st
     g2 = m // st
+    split = _split_env(g2)
+    gsub = g2 // split
     gchunk = _pick_gchunk(st, wsz, k)
     kern = functools.partial(
         _bwd_kernel_b if _impl_batched() else _bwd_kernel,
@@ -785,24 +814,31 @@ def _bwd_call(q, kv, rel, li, params, g_out, tile, width, window, shares,
         window=window, num_tiles=g, wsz=wsz, gchunk=gchunk,
     )
     in_specs = (
-        _window_specs(width, window, g, tile, 2 * c, sub)
-        + [_tile_spec(st, c), _tile_spec(st, k * 3),
-           _tile_spec(st, k)]
+        _window_specs(width, window, g, tile, 2 * c, sub, split, gsub)
+        + [_tile_spec(st, c, split, gsub), _tile_spec(st, k * 3, split, gsub),
+           _tile_spec(st, k, split, gsub)]
         + [_param_spec()] * len(ps)
-        + [_tile_spec(st, c)]  # g_out
+        + [_tile_spec(st, c, split, gsub)]  # g_out
     )
     prows = 3 + 1 + 3 + 1 + 1 + 1 + c + 1 + 1 + 1 + cs + 1
+
+    def flat(bb, gg):
+        return ((bb // split) * g2 + (bb % split) * gsub + gg, 0, 0)
+
     dkv_win, dq, dp = pl.pallas_call(
         kern,
-        grid=(b, g2),
+        grid=(b * split, gsub),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, 1, width, tile, 2 * c),
-                         lambda bb, gg: (bb, gg, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _tile_spec(st, c),
-            pl.BlockSpec((1, prows, c), lambda bb, gg: (bb * g2 + gg, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, width, tile, 2 * c),
+                lambda bb, gg: (
+                    bb // split, (bb % split) * gsub + gg, 0, 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            _tile_spec(st, c, split, gsub),
+            pl.BlockSpec((1, prows, c), flat, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, g2, width, tile, 2 * c), jnp.float32),
@@ -912,7 +948,8 @@ def pt_attn_ok(tile: int, width: int, k: int, c: int, shares: int,
         return False
     key = (tile, width, k, c, shares, jnp.dtype(dtype).name,
            _impl_batched(),
-           _pick_subtile(tile, width, k, c, bwd=True), n)
+           _pick_subtile(tile, width, k, c, bwd=True), n,
+           os.environ.get("PT_ATTN_SPLIT", "auto"))
     if key in _PROBED:
         return _PROBED[key]
 

@@ -44,14 +44,53 @@ def _cross_start(gg, window, gq, gs, width):
     return jnp.clip(center - window, 0, gs - width)
 
 
-def _window_specs(width, tile, start_of):
-    """One [1, T, 3] support block per window slot j at tile start_of(gg)+j
-    (the clipped-window pattern proven in cbl_tile2/pt_attn)."""
+def auto_split(g: int, env: str) -> int:
+    """Grid split for long single-batch tile runs (round 5, VERDICT item 4):
+    grid (b, g) becomes (b·s, g/s) with cell (bb, gg) owning batch bb//s and
+    tile (bb%s)·(g/s)+gg — bit-exact, purely a re-partition of the same
+    cells. Why: the remote Mosaic helper deterministically 500s kernels
+    whose minor grid dim reaches 256 (the preset shape B=1×65536, gq=256)
+    while the SAME per-cell program at (4, 64) compiles and wins; splitting
+    reproduces the winning geometry. Auto halves the minor dim to ≤64
+    (doubling s while it divides g); `env` (e.g. WIN_TOPK_SPLIT) overrides,
+    0/1 = off."""
+    import os
+
+    val = os.environ.get(env, "auto")
+    if val not in ("", "auto"):
+        s = int(val)
+        return s if s >= 1 and g % s == 0 else 1
+    s = 1
+    while g // s > 64 and g % (s * 2) == 0:
+        s *= 2
+    return s
+
+
+def _split_ids(split):
+    """Index-map helpers under a grid split: (batch, flat tile) of (bb, gg)
+    on grid (b·split, g//split)."""
+    def batch(bb):
+        return bb // split
+
+    def tile_of(bb, gg, gsub):
+        return (bb % split) * gsub + gg
+
+    return batch, tile_of
+
+
+def _window_specs(width, tile, start_of, split, gsub):
+    """One [1, T, 3] support block per window slot j at tile start_of(t)+j
+    for t the flat query-tile index (the clipped-window pattern proven in
+    cbl_tile2/pt_attn, grid-split aware)."""
+    batch, tile_of = _split_ids(split)
     return [
         pl.BlockSpec(
             (1, tile, 3),
             functools.partial(
-                lambda bb, gg, j=0: (bb, start_of(gg) + j, 0), j=j
+                lambda bb, gg, j=0: (
+                    batch(bb), start_of(tile_of(bb, gg, gsub)) + j, 0
+                ),
+                j=j,
             ),
             memory_space=pltpu.VMEM,
         )
@@ -59,7 +98,7 @@ def _window_specs(width, tile, start_of):
     ]
 
 
-def _topk_kernel(*refs, tile, width, k, mode, window, g):
+def _topk_kernel(*refs, tile, width, k, mode, window, g, split):
     q_ref = refs[0]
     win_refs = refs[1 : 1 + width]
     idx_ref, val_ref = refs[1 + width], refs[2 + width]
@@ -81,7 +120,7 @@ def _topk_kernel(*refs, tile, width, k, mode, window, g):
 
     iota = lax.broadcasted_iota(jnp.int32, (tile, w_sz), 1)
     if mode in ("exclude_self", "ensure_self"):
-        gg = pl.program_id(1)
+        gg = (pl.program_id(0) % split) * (g // split) + pl.program_id(1)
         start = _self_start(gg, window, g, width)
         row = lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
         self_pos = (gg - start) * tile + row  # [T, 1] window-relative
@@ -113,7 +152,7 @@ def _topk_kernel(*refs, tile, width, k, mode, window, g):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile", "width", "window", "mode", "gs",
-                     "interpret"),
+                     "interpret", "split"),
 )
 def window_topk(
     query: jax.Array,
@@ -126,6 +165,7 @@ def window_topk(
     mode: str = "plain",
     gs: int | None = None,
     interpret: bool = False,
+    split: int = 1,
 ):
     """Per-tile window top-k (smallest squared distances first).
 
@@ -152,21 +192,27 @@ def window_topk(
             _self_start, window=window, g=gq, width=width
         )
         mode_k = mode
+    assert gq % split == 0, (gq, split)
+    gsub = gq // split
+    batch, tile_of = _split_ids(split)
     kern = functools.partial(
         _topk_kernel, tile=tile, width=width, k=k, mode=mode_k,
-        window=window, g=gq,
+        window=window, g=gq, split=split,
     )
     q_spec = pl.BlockSpec(
-        (1, tile, 3), lambda bb, gg: (bb, gg, 0), memory_space=pltpu.VMEM
+        (1, tile, 3),
+        lambda bb, gg: (batch(bb), tile_of(bb, gg, gsub), 0),
+        memory_space=pltpu.VMEM,
     )
     out_spec = lambda lanes: pl.BlockSpec(
-        (1, tile, lanes), lambda bb, gg: (bb, gg, 0),
+        (1, tile, lanes),
+        lambda bb, gg: (batch(bb), tile_of(bb, gg, gsub), 0),
         memory_space=pltpu.VMEM,
     )
     idx, val = pl.pallas_call(
         kern,
-        grid=(b, gq),
-        in_specs=[q_spec] + _window_specs(width, tile, start_of),
+        grid=(b * split, gsub),
+        in_specs=[q_spec] + _window_specs(width, tile, start_of, split, gsub),
         out_specs=(out_spec(k), out_spec(k)),
         out_shape=(
             jax.ShapeDtypeStruct((b, m, k), jnp.int32),
@@ -214,7 +260,8 @@ def window_topk_ok(tile: int, width: int, k: int, mode: str,
         return False
     if gs is None and os.environ.get("WIN_TOPK_SELF", "") == "off":
         return False
-    key = (tile, width, k, mode, window, gq, gs)
+    split = auto_split(gq, "WIN_TOPK_SPLIT")
+    key = (tile, width, k, mode, window, gq, gs, split)
     if key in _PROBED:
         return _PROBED[key]
 
@@ -230,7 +277,7 @@ def window_topk_ok(tile: int, width: int, k: int, mode: str,
         try:
             idx, val = window_topk(
                 pts, sup, k, tile=tile, width=width, window=window,
-                mode=mode, gs=gs,
+                mode=mode, gs=gs, split=split,
             )
             jax.block_until_ready((idx, val))
             ok = True

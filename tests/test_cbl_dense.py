@@ -122,3 +122,19 @@ def test_split_gather_bit_identical(monkeypatch):
     ggot = jax.grad(_loss_fn)(feats, onehot, li, tile, width, cfg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(ggot), np.asarray(gref))
+
+
+def test_dense_grid_split_bit_identical(monkeypatch):
+    """CBL_DENSE_SPLIT (round 5, VERDICT item 4) is a pure grid
+    re-partition: loss and grads bit-match the unsplit kernel."""
+    feats, onehot, li, tile, width = _case(g=6, seed=11)
+    cfg = ContrastConfig()
+    monkeypatch.setenv("CBL_DENSE", "interpret")
+    monkeypatch.setenv("CBL_DENSE_SPLIT", "1")
+    ref = _loss_fn(feats, onehot, li, tile, width, cfg)
+    gref = jax.grad(_loss_fn)(feats, onehot, li, tile, width, cfg)
+    monkeypatch.setenv("CBL_DENSE_SPLIT", "2")
+    got = _loss_fn(feats, onehot, li, tile, width, cfg)
+    ggot = jax.grad(_loss_fn)(feats, onehot, li, tile, width, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(ggot), np.asarray(gref))

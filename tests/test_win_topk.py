@@ -176,3 +176,39 @@ def test_cross_window_gather_matches_batch_gather(rng):
     gx_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(feats)))
     gx_new = np.asarray(jax.grad(f_new)(jnp.asarray(feats)))
     np.testing.assert_allclose(gx_new, gx_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_split_bit_identical(pts):
+    """split (round 5, VERDICT item 4) is a pure grid re-partition: the
+    (b·s, g/s) kernel must be bit-identical to the (b, g) one in every
+    mode (the self_pos reconstruction from both program_ids included)."""
+    tile, window, k = 8, 1, 5
+    width = min(2 * window + 1, pts.shape[1] // tile)
+    for mode in ["plain", "exclude_self", "ensure_self"]:
+        i1, v1 = window_topk(
+            jnp.asarray(pts), jnp.asarray(pts), k, tile=tile, width=width,
+            window=window, mode=mode, interpret=True, split=1,
+        )
+        for split in (2, 4):
+            i2, v2 = window_topk(
+                jnp.asarray(pts), jnp.asarray(pts), k, tile=tile,
+                width=width, window=window, mode=mode, interpret=True,
+                split=split,
+            )
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_auto_split_policy(monkeypatch):
+    from contrastboundary_tpu.ops.pallas.win_topk import auto_split
+
+    monkeypatch.delenv("WIN_TOPK_SPLIT", raising=False)
+    assert auto_split(256, "WIN_TOPK_SPLIT") == 4  # preset shape gq
+    assert auto_split(64, "WIN_TOPK_SPLIT") == 1   # record shape gq
+    assert auto_split(96, "WIN_TOPK_SPLIT") == 2   # halve while divisible
+    assert auto_split(100, "WIN_TOPK_SPLIT") == 2
+    monkeypatch.setenv("WIN_TOPK_SPLIT", "8")
+    assert auto_split(256, "WIN_TOPK_SPLIT") == 8
+    assert auto_split(100, "WIN_TOPK_SPLIT") == 1  # non-dividing → off
+    monkeypatch.setenv("WIN_TOPK_SPLIT", "1")
+    assert auto_split(256, "WIN_TOPK_SPLIT") == 1
