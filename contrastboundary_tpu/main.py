@@ -318,6 +318,12 @@ def train(cfg, logger, exp_dir: str):
     train_step = make_train_step_with_fallback(model, step_cfg, logger)
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
     transform = default_train_transform()
+    # scalar summary export (reference's optional summaries/tensorboardX,
+    # tf_graph_builder.py:119-151, pytorch/tool/train.py:264-270) — rank-0
+    # only; metric values are already global under the sharded step
+    from .utils.scalars import ScalarWriter
+
+    scalars = ScalarWriter(exp_dir) if jax.process_index() == 0 else None
     best_miou = -1.0
     eval_ctx: dict = {}  # caches eval step/dataset/evaluator across epochs
     # per-host input shards: each process preprocesses only its share, and
@@ -391,6 +397,11 @@ def train(cfg, logger, exp_dir: str):
             if (i + 1) % cfg.log_freq == 0:
                 for k, v in metrics.items():
                     meters.setdefault(k, AverageMeter()).update(float(v))
+                if scalars is not None:
+                    scalars.write(
+                        int(state.step),
+                        {f"train/{k}": float(v) for k, v in metrics.items()},
+                    )
                 logger.info(
                     f"epoch {epoch} step {i+1}/{steps_per_epoch}: "
                     + " ".join(
@@ -405,12 +416,24 @@ def train(cfg, logger, exp_dir: str):
             f"epoch {epoch} done in {dt:.1f}s ({pps/1e3:.0f}k pts/s): "
             f"train mIoU {tm['mIoU']:.4f} OA {tm['OA']:.4f}"
         )
+        if scalars is not None:
+            scalars.write(
+                int(state.step),
+                {"epoch": epoch, "epoch/train_mIoU": tm["mIoU"],
+                 "epoch/train_OA": tm["OA"], "epoch/points_per_sec": pps},
+            )
 
         if (epoch + 1) % cfg.eval.eval_freq == 0 or epoch == cfg.optim.epochs - 1:
             m = run_eval(cfg, model, step_cfg, state, mesh, logger, ctx=eval_ctx)
             miou = m["full"]["mIoU"]
             is_best = miou > best_miou
             best_miou = max(best_miou, miou)
+            if scalars is not None:
+                scalars.write(
+                    int(state.step),
+                    {"epoch": epoch, "val/mIoU": miou,
+                     "val/best_mIoU": best_miou},
+                )
             if (epoch + 1) % cfg.save_freq == 0 or is_best:
                 ckpt.save(int(state.step), state, best=is_best, metric=miou)
                 logger.info(f"saved snap-{int(state.step)}" + (" (best)" if is_best else ""))

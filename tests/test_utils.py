@@ -207,3 +207,35 @@ def test_confusion_matrix_matches_numpy_histogram():
         if l != -1:
             want[l, p] += 1
     np.testing.assert_array_equal(got, want)
+
+
+def test_scalar_writer_roundtrip(tmp_path):
+    """Scalar summary export (utils/scalars.py — the reference's optional
+    summaries, tf_graph_builder.py:119-151 / tensorboardX train.py:264-270):
+    write → read roundtrip, non-finite encoding, truncated-tail tolerance."""
+    import numpy as np
+
+    from contrastboundary_tpu.utils.scalars import ScalarWriter, read_scalars
+
+    d = str(tmp_path)
+    with ScalarWriter(d) as w:
+        w.write(1, {"train/loss": 1.5, "train/acc": 0.25})
+        w.write(2, {"train/loss": float("nan")})
+        w.write(3, {"val/mIoU": np.float32(0.5)})
+    out = read_scalars(w.path)
+    assert out["train/loss"][0] == [1, 2]
+    assert out["train/loss"][1][0] == 1.5
+    assert out["train/loss"][1][1] != out["train/loss"][1][1]  # NaN survives
+    assert out["val/mIoU"] == ([3], [0.5])
+
+    # appending in a second writer (resume) extends the series
+    with ScalarWriter(d) as w2:
+        w2.write(4, {"val/mIoU": 0.6})
+    out = read_scalars(w2.path)
+    assert out["val/mIoU"] == ([3, 4], [0.5, 0.6])
+
+    # truncated tail (killed run): reader stops cleanly, keeps prior rows
+    with open(w2.path, "a") as fh:
+        fh.write('{"step": 5, "val/mIoU": 0.')
+    out = read_scalars(w2.path)
+    assert out["val/mIoU"] == ([3, 4], [0.5, 0.6])
