@@ -177,12 +177,14 @@ def _with_kernel_fallback(build, logger=None, what="step") -> Callable:
     STEP modules whose kernels all probe fine standalone (round 4, preset
     shape B=1 N=65536, key t256w3k36; suspected host-contention starvation
     of the compile-helper subprocess) — production runs must degrade to the
-    XLA paths, not crash. Ladder: retry same config (flakiness) → self
-    kernels off (the deterministic 500 class is self-mode; cross kernels
-    are a measured win) → all kernels off."""
+    XLA paths, not crash. Ladder: retry same config (flakiness) → attention
+    kernel off (the least-proven kernel, only live under bn_mode='stale') →
+    self top-k kernels off (the round-4 deterministic 500 class was
+    self-mode) → dense CBL kernel off → all window-top-k kernels off."""
     holder = {
         "step": build(),
-        "ladder": [(), ("WIN_TOPK_SELF", "off"), ("WIN_TOPK", "off")],
+        "ladder": [(), ("PT_ATTN", "off"), ("WIN_TOPK_SELF", "off"),
+                   ("CBL_DENSE", "off"), ("WIN_TOPK", "off")],
     }
 
     def step(*args):
