@@ -140,10 +140,21 @@ def build_arm(name, b, n):
 
 
 def main():
+    import os
+
     arms = sys.argv[1].split(",") if len(sys.argv) > 1 else [
         "base", "stale", "noattn", "nocbl", "pyr"
     ]
-    for b, n in [(4, 16384), (1, 65536)]:
+    # AB_SHAPES="4x16384" (comma list) restricts the shape sweep — the
+    # round-5 chip queue runs the attention decision at the record shape
+    # only (the preset shape has its own harness, ab_preset_split.py)
+    shapes = [(4, 16384), (1, 65536)]
+    if os.environ.get("AB_SHAPES"):
+        shapes = [
+            tuple(int(v) for v in s.split("x"))
+            for s in os.environ["AB_SHAPES"].split(",")
+        ]
+    for b, n in shapes:
         print(f"=== B={b} N={n} ===", flush=True)
         runners = {}
         for a in arms:
