@@ -117,37 +117,56 @@ def _neighbor_kv(li_col, kv_win, iota_w):
     )
 
 
+def _onehots(li, k0, k1, iota_w, dtype):
+    """[chunk·T, W] one-hot for k-slots [k0, k1): built as PER-K [T, W]
+    compares then concatenated. Concatenating the [T, 1] column slices
+    first (the round-4 form) gives operands whose Mosaic lane offsets
+    differ per k ({0,0}..{0,K-1}) and the remote helper rejects the concat
+    with 'result/input offset mismatch on non-concat dimension' (observed
+    2026-08-20 on the combined train-step module at B=1 N=65536); the
+    [T, W] compares are full-width offset-{0,0} operands, which is the
+    layout class every shipping kernel concat already uses."""
+    ohs = [
+        (li[:, kk][:, None] == iota_w).astype(dtype) for kk in range(k0, k1)
+    ]
+    return ohs[0] if len(ohs) == 1 else jnp.concatenate(ohs, axis=0)
+
+
 def _gather_rows(li, win, tile, k, wsz, gchunk):
     """K-batched one-hot gather, VMEM-bounded: the [K·T, W] one-hot is
     materialized in chunks of `gchunk` k-slots (round 5 — the full one-hot
     at K=16, W=768 alone is ~6 MB and was the scoped-VMEM OOM driver at
-    wide C). Returns [K·T, lanes(win)] f32, k-major rows."""
-    outs = []
+    wide C). Returns ([K·T, lanes(win)] f32 rows, [K·T, 1] f32 validity —
+    the one-hot row-sum: exactly 1.0 for in-window slots, 0.0 for shadow),
+    k-major rows."""
+    iota_w = lax.broadcasted_iota(jnp.int32, (tile, wsz), 1)
+    outs, vals = [], []
     prec = None if win.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
     for k0 in range(0, k, gchunk):
-        cols = [li[:, kk][:, None] for kk in range(k0, min(k0 + gchunk, k))]
-        li_c = jnp.concatenate(cols, axis=0)  # [chunk·T, 1]
-        iota = lax.broadcasted_iota(jnp.int32, (li_c.shape[0], wsz), 1)
-        oh = (li_c == iota).astype(win.dtype)
+        oh = _onehots(li, k0, min(k0 + gchunk, k), iota_w, win.dtype)
         outs.append(
             lax.dot_general(
                 oh, win, (((1,), (0,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32,
             )
         )
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        # row-sum of a one-hot is exact in any dtype (single 1, rest 0)
+        vals.append(
+            jnp.sum(oh, axis=1, keepdims=True).astype(jnp.float32)
+        )
+    rows = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    valid = vals[0] if len(vals) == 1 else jnp.concatenate(vals, axis=0)
+    return rows, valid
 
 
 def _scatter_rows(li, rows, tile, k, wsz, gchunk):
     """Transposed chunked one-hot: [K·T, C] row grads → [W, C] window grads
     (the backward of _gather_rows)."""
+    iota_w = lax.broadcasted_iota(jnp.int32, (tile, wsz), 1)
     acc = None
     for k0 in range(0, k, gchunk):
         kc = min(k0 + gchunk, k) - k0
-        cols = [li[:, kk][:, None] for kk in range(k0, k0 + kc)]
-        li_c = jnp.concatenate(cols, axis=0)
-        iota = lax.broadcasted_iota(jnp.int32, (li_c.shape[0], wsz), 1)
-        oh = (li_c == iota).astype(jnp.float32)
+        oh = _onehots(li, k0, k0 + kc, iota_w, jnp.float32)
         part = lax.dot_general(
             oh, rows[k0 * tile : (k0 + kc) * tile],
             (((0,), (0,)), ((), ())),
@@ -156,6 +175,19 @@ def _scatter_rows(li, rows, tile, k, wsz, gchunk):
         )
         acc = part if acc is None else acc + part
     return acc
+
+
+def _pe1_rows(rel, a1v, c1v, tile, k):
+    """[K·T, 3] first PE layer: per-k [T, 3] matmuls on the narrow rel
+    slices, concatenated AFTER the matmul (matmul outputs are offset-{0,0};
+    concatenating the lane-offset-shifted [T, 3] rel slices directly trips
+    the same Mosaic offset-mismatch as _onehots documents)."""
+    parts = [
+        _matmul(rel[:, kk * 3 : kk * 3 + 3].astype(jnp.float32), a1v)
+        for kk in range(k)
+    ]
+    return (parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            ) + c1v
 
 
 def _tower(w_pre, g1, h1, w3, b3, g2, h2, w4, b4):
@@ -278,15 +310,12 @@ def _fwd_kernel_b(*refs, width, tile, k, c, cs, shares, wsz, gchunk):
     ]
     a1v, c1v, w2v, b2v, g1v, h1v, w3v, b3v, g2v, h2v, w4v, b4v = ps
 
-    li_all = jnp.concatenate(
-        [li[:, kk][:, None] for kk in range(k)], axis=0
-    )  # [K·T, 1], k-major rows
-    kv_all = _gather_rows(li, kv_win, tile, k, w_sz, gchunk)  # [K·T, 2C]
+    kv_all, valid_all = _gather_rows(
+        li, kv_win, tile, k, w_sz, gchunk
+    )  # [K·T, 2C], [K·T, 1]
     k_all, v_all = kv_all[:, :c], kv_all[:, c:]
-    rel_all = jnp.concatenate(
-        [rel[:, kk * 3 : kk * 3 + 3] for kk in range(k)], axis=0
-    ).astype(jnp.float32)  # [K·T, 3]
-    pe_all = _pe(rel_all, a1v, c1v, w2v, b2v)  # [K·T, C]
+    pe1_all = _pe1_rows(rel, a1v, c1v, tile, k)  # [K·T, 3]
+    pe_all = _matmul(jnp.maximum(pe1_all, 0.0), w2v) + b2v  # [K·T, C]
     q_all = jnp.concatenate([q] * k, axis=0)  # [K·T, C]
     w_pre = k_all - q_all + pe_all
     w4_all, bvec_all, _, _ = _tower(
@@ -300,7 +329,7 @@ def _fwd_kernel_b(*refs, width, tile, k, c, cs, shares, wsz, gchunk):
 
     # masked softmax over k: all scores are materialized, so a direct
     # two-pass max/sum over static row slices (no online rescaling)
-    in_all = li_all < w_sz  # [K·T, 1]
+    in_all = valid_all > 0.5  # [K·T, 1] (shadow slots: all-zero one-hot row)
     a_all = jnp.where(in_all, w4_all, _NEG)  # [K·T, Cs]
     m = a_all[0:tile]
     for kk in range(1, k):
@@ -688,15 +717,11 @@ def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles,
     a1v, c1v, w2v, b2v, g1v, h1v, w3v, b3v, g2v, h2v, w4v, b4v = ps
 
     # ---- batched forward recompute ----
-    li_all = jnp.concatenate(
-        [li[:, kk][:, None] for kk in range(k)], axis=0
-    )  # [K·T, 1]
-    kv_all = _gather_rows(li, kv_win, tile, k, w_sz, gchunk)  # [K·T, 2C]
+    kv_all, valid_all = _gather_rows(
+        li, kv_win, tile, k, w_sz, gchunk
+    )  # [K·T, 2C], [K·T, 1]
     k_all, v_all = kv_all[:, :c], kv_all[:, c:]
-    rel_all = jnp.concatenate(
-        [rel[:, kk * 3 : kk * 3 + 3] for kk in range(k)], axis=0
-    ).astype(jnp.float32)
-    pe1_all = _matmul(rel_all, a1v) + c1v  # [K·T, 3]
+    pe1_all = _pe1_rows(rel, a1v, c1v, tile, k)  # [K·T, 3]
     r_pe = jnp.maximum(pe1_all, 0.0)
     pe_all = _matmul(r_pe, w2v) + b2v  # [K·T, C]
     q_all = jnp.concatenate([q] * k, axis=0)
@@ -708,7 +733,7 @@ def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles,
     r2 = jnp.maximum(c_, 0.0)
     w4_all = _matmul(r2, w4v) + b4v  # [K·T, Cs]
 
-    in_all = li_all < w_sz  # [K·T, 1]
+    in_all = valid_all > 0.5  # [K·T, 1] (shadow slots: all-zero one-hot row)
     a_all = jnp.where(in_all, w4_all, _NEG)
     m = a_all[0:tile]
     for kk in range(1, k):
@@ -773,7 +798,15 @@ def _bwd_kernel_b(*refs, width, tile, k, c, cs, shares, window, num_tiles,
     dW2 = rowdot(r_pe, dpe)
     db2 = jnp.sum(dpe, axis=0, keepdims=True)
     dr_pe = coldot(dpe, w2v) * (pe1_all > 0)
-    dA1 = rowdot(rel_all, dr_pe)
+    # dA1 = rel_allᵀ @ dr_pe, summed per k over the narrow rel slices (the
+    # concatenated [K·T, 3] rel_all would need the offset-shifted concat
+    # _pe1_rows documents; per-k matmul operands relayout fine)
+    dA1 = jnp.zeros((3, 3), jnp.float32)
+    for kk in range(k):
+        dA1 = dA1 + rowdot(
+            rel[:, kk * 3 : kk * 3 + 3].astype(jnp.float32),
+            dr_pe[kk * tile : (kk + 1) * tile],
+        )
     dc1 = jnp.sum(dr_pe, axis=0, keepdims=True)
 
     it = wsz // width  # index-tile rows (= tile unless sub-tiled)

@@ -64,8 +64,13 @@ CKPT_DIR = "results/ckpts"
 
 def build(arm: str):
     """arm → (spec, bn_mode). 'fast_stale' is the round-4 production
-    candidate: fast pyramid + StaleBatchNorm (+ the fused attention kernel
-    when PT_ATTN allows)."""
+    candidate: fast pyramid + StaleBatchNorm. The arm answers the BN-
+    SEMANTICS accuracy question, so the fused attention kernel is forced
+    off (its numerics are covered by interpret-mode parity tests, and the
+    combined train-step module 500'd in the remote Mosaic helper at this
+    shape on 2026-08-20 — probe-passes/combined-fails class, PERF.md)."""
+    if arm == "fast_stale":
+        os.environ.setdefault("PT_ATTN", "off")
     if arm in ("fast", "fast_stale"):
         spec = PyramidSpec(
             k_contrast=(36, 24, 24, 24, 24), with_subscene=True,
