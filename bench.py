@@ -58,7 +58,14 @@ def main():
         )
         import os
 
-        model = PointTransformerSeg(num_classes=13, dtype=jnp.bfloat16)
+        # BN mode: 'stale' (StaleBatchNorm, fold-friendly — REQUIRED for the
+        # fused attention kernel, ops/pallas/pt_attn.py) vs the reference's
+        # exact per-batch 'batch'. Default decided by the round-5 parity
+        # campaign + within-session step A/B (PERF.md round 5).
+        bn_mode = os.environ.get("BENCH_BN_MODE", "batch")
+        model = PointTransformerSeg(
+            num_classes=13, dtype=jnp.bfloat16, bn_mode=bn_mode
+        )
         # CBL impl: 'xla' tile path by default. The fused Pallas kernel is
         # opt-in (BENCH_CBL_IMPL=auto) because this deployment's remote
         # Mosaic helper takes ~25 min per compile attempt at the flagship
@@ -117,11 +124,18 @@ def main():
         from contrastboundary_tpu.ops.knn import tile_cross_knn
 
         # each measure() owns the kernel env: reset, then apply start_env
-        for key in ("WIN_TOPK", "WIN_TOPK_SELF"):
+        for key in ("WIN_TOPK", "WIN_TOPK_SELF", "PT_ATTN", "CBL_DENSE"):
             os.environ.pop(key, None)
         for key, val in start_env:
             os.environ[key] = val
-        ladder = [("WIN_TOPK_SELF", "off"), ("WIN_TOPK", "off")]
+        ladder = [
+            ("WIN_TOPK_SELF", "off"),
+            ("CBL_DENSE", "off"),
+            ("WIN_TOPK", "off"),
+        ]
+        if os.environ.get("BENCH_BN_MODE", "batch") == "stale":
+            # attention kernel only dispatches under stale BN; drop it first
+            ladder.insert(0, ("PT_ATTN", "off"))
         ladder = [r for r in ladder if r not in start_env]
         build_pyramid.clear_cache()
         tile_cross_knn.clear_cache()
