@@ -12,9 +12,13 @@ from .base import register_config
 
 # flagship: point-transformer + CBL on S3DIS
 # production presets run the Morton-sorted tile fast path (PERF.md round 2:
-# 3x the natural-layout throughput; synthetic seed-paired accuracy parity,
-# ABLATION.md). The *_paper presets keep layout='natural' for protocol-exact
-# reference parity.
+# 3x the natural-layout throughput). SHIP DECISION (round-5 parity campaign,
+# ABLATION.md round 5): the checkpoint-controlled 2x2 matrix over the clean
+# seeds measures mean totalD +0.99 mIoU IN FAST'S FAVOR (eval effect
+# +3.0..+4.8 fast-favored on every seed, train effect -2.1..-3.5, net
+# positive) — sorted+strided stays the default per the round-3 decision
+# rule (|totalD| bounded < 1 with fast ahead). The *_paper presets keep
+# layout='natural' for protocol-exact reference parity.
 register_config(
     "s3dis_pt_cbl",
     data={"dataset": "s3dis", "voxel_size": 0.04, "voxel_max": 80000,
