@@ -159,13 +159,15 @@ def main():
     b, n = 4, 16384  # benchmark of record: 65,536 points per step per chip
     pts_per_sec = measure(b, n, iters, rounds)
     # second shape: the s3dis_pt_cbl preset trains B=1 x N=65536 crops.
-    # Self-mode window-top-k kernels start OFF here: at B=1 they are both
-    # slower than the iter-topk XLA path (111.8 vs 86.7 ms step, round-4
-    # PERF.md A/B) and the one shape class where the remote Mosaic helper
-    # deterministically 500s inside the combined step module.
-    preset_pts_per_sec = measure(
-        1, 65536, iters, rounds, start_env=(("WIN_TOPK_SELF", "off"),)
-    )
+    # Round 5: kernels run ON here — the bit-exact (b*s, g/s) grid split
+    # (ops/pallas/win_topk.py::auto_split and friends) re-partitions the
+    # batch-starved (1, 256) grid into the (4, 64) geometry where the same
+    # kernels win at B=4, measured 93.1 -> 67.2 ms (704k -> 976k pts/s)
+    # within-session (scripts/ab_preset_split.py, PERF.md round 5). The
+    # round-4 deterministic Mosaic 500 hit the UNSPLIT 256-tile grid; the
+    # fallback ladder still degrades to the XLA paths if any geometry
+    # regresses.
+    preset_pts_per_sec = measure(1, 65536, iters, rounds)
     print(
         json.dumps(
             {
