@@ -66,6 +66,21 @@ def main(path="results/parity_ckpt.jsonl"):
                   + "  ".join(f"{k}={sum(v)/len(v):+.4f}(n={len(v)})"
                               for k, v in totals.items()))
 
+    # Arms outside the fast/paper 2x2 (e.g. the StaleBN production-candidate
+    # arm 'fast_stale') — print verbatim next to the same seed's 2x2 cells.
+    extra = [(s, k, r) for s, cells in sorted(by_seed.items())
+             for k, r in cells.items()
+             if k[0] not in ("fast", "paper") or k[1] not in ("fast", "paper")]
+    if extra:
+        print("\n== extra arms ==")
+        for seed, (t, e), r in extra:
+            ref = by_seed[seed].get(("fast", "fast"))
+            delta = ("" if ref is None else
+                     f"  (vs f/f: mIoU {r['full_mIoU']-ref['full_mIoU']:+.4f},"
+                     f" B-IoU {r['B_IoU']-ref['B_IoU']:+.4f})")
+            print(f"seed {seed} {t}->{e}: mIoU {r['full_mIoU']:.4f} "
+                  f"B-IoU {r['B_IoU']:.4f}{delta}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
