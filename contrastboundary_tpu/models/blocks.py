@@ -75,20 +75,41 @@ class StaleBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+def _bn_dtype(model_dtype) -> Dtype:
+    """BN compute/output dtype. Default f32 — the reference's (and torch
+    AMP's) convention: BN math and the normalized activations stay full
+    precision even in a mixed-precision net. `BN_COMPUTE=model` runs BN in
+    the block dtype instead (bf16 in the fast presets): flax computes the
+    batch statistics in f32 regardless (normalization._compute_stats
+    promotes), so only the normalized ACTIVATIONS round to bf16 — the same
+    rounding every nn.Dense in the block already applies on its input — but
+    it halves the HBM bytes of every [B,N,K,C] tower tensor and its
+    cotangent. Opt-in experiment knob; measured in scripts/ab_bn_dtype.py."""
+    import os
+
+    if model_dtype is not None and os.environ.get("BN_COMPUTE") == "model":
+        return model_dtype
+    return jnp.float32
+
+
 def make_bn(mode: str, train: bool, name: Optional[str] = None,
-            momentum: float = 0.9, epsilon: float = 1e-5):
+            momentum: float = 0.9, epsilon: float = 1e-5,
+            model_dtype: Optional[Dtype] = None):
     """BN factory shared by every block: mode 'batch' = exact nn.BatchNorm
-    (reference semantics), 'stale' = StaleBatchNorm (fold-friendly)."""
+    (reference semantics), 'stale' = StaleBatchNorm (fold-friendly).
+    `model_dtype` is the enclosing block's compute dtype — only consumed
+    under the opt-in `BN_COMPUTE=model` (see _bn_dtype)."""
+    dtype = _bn_dtype(model_dtype)
     if mode == "stale":
         # pin the auto-name to nn.BatchNorm's so the param tree is identical
         # across bn_mode values (checkpoints stay interchangeable)
         return StaleBatchNorm(
             use_running_average=not train, momentum=momentum, epsilon=epsilon,
-            dtype=jnp.float32, name=name if name else "BatchNorm_0",
+            dtype=dtype, name=name if name else "BatchNorm_0",
         )
     return nn.BatchNorm(
         use_running_average=not train, momentum=momentum, epsilon=epsilon,
-        dtype=jnp.float32, name=name,
+        dtype=dtype, name=name,
     )
 
 
@@ -171,7 +192,9 @@ class PointTransformerLayer(nn.Module):
         c = self.out_planes
         s = self.share_planes
         dense = lambda d, name: nn.Dense(d, dtype=self.dtype, name=name)
-        bn = lambda name: make_bn(self.bn_mode, train, name)
+        bn = lambda name: make_bn(
+            self.bn_mode, train, name, model_dtype=self.dtype
+        )
 
         q = dense(c, "linear_q")(x)
         k = dense(c, "linear_k")(x)
@@ -303,7 +326,7 @@ class TransitionDown(nn.Module):
         rel=None, local=None,
     ):
         dense = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)
-        bn = make_bn(self.bn_mode, train)  # auto-named, keeps old param trees
+        bn = make_bn(self.bn_mode, train, model_dtype=self.dtype)  # auto-named, keeps old param trees
         if self.stride == 1:
             return nn.relu(bn(dense(x_prev)))
 
@@ -354,7 +377,10 @@ class TransitionUp(nn.Module):
             def f(y):
                 y = nn.Dense(d, dtype=self.dtype, name=f"{name}_fc")(y)
                 if with_bn:
-                    y = make_bn(self.bn_mode, train, f"{name}_bn")(y)
+                    y = make_bn(
+                        self.bn_mode, train, f"{name}_bn",
+                        model_dtype=self.dtype,
+                    )(y)
                 return nn.relu(y) if act else y
             return f
 
@@ -394,7 +420,9 @@ class PointTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, p, x, nb_idx, train: bool = True, rel=None, local=None):
-        bn = lambda name: make_bn(self.bn_mode, train, name)
+        bn = lambda name: make_bn(
+            self.bn_mode, train, name, model_dtype=self.dtype
+        )
         identity = x
         y = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear1")(x)
         y = nn.relu(bn("bn1")(y))
@@ -425,6 +453,6 @@ class MLPTower(nn.Module):
             last = i == len(self.dims) - 1
             x = nn.Dense(d, dtype=self.dtype, name=f"fc{i}")(x)
             if not (last and self.final_linear):
-                x = make_bn(self.bn_mode, train, f"bn{i}")(x)
+                x = make_bn(self.bn_mode, train, f"bn{i}", model_dtype=self.dtype)(x)
                 x = nn.relu(x)
         return x
