@@ -82,7 +82,7 @@ class ConvNetSeg(nn.Module):
         x = nn.Dense(d, use_bias=False, dtype=self.dtype, name=f"{name}_fc")(x)
         x = make_bn(
             self.bn_mode, train, f"{name}_bn", momentum=self.bn_momentum,
-            epsilon=self.bn_eps,
+            epsilon=self.bn_eps, model_dtype=self.dtype,
         )(x)
         return nn.relu(x) if act else x
 

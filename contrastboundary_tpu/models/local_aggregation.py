@@ -30,10 +30,13 @@ Dtype = Any
 _NEG = -65535.0
 
 
-def _bn(train: bool, momentum: float, eps: float, name: str):
+def _bn(train: bool, momentum: float, eps: float, name: str,
+        model_dtype=None):
+    from .blocks import _bn_dtype
+
     return nn.BatchNorm(
         use_running_average=not train, momentum=momentum, epsilon=eps,
-        dtype=jnp.float32, name=name,
+        dtype=_bn_dtype(model_dtype), name=name,
     )
 
 
@@ -129,11 +132,11 @@ class PosPoolAgg(nn.Module):
         agg = (prior[..., None] * fm).reshape(b, m, k, mid * shared)
         agg = _reduce(agg, valid, self.reduction)
 
-        agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "pool_bn")(agg))
+        agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "pool_bn", model_dtype=self.dtype)(agg))
         if fdim != self.out_fdim or self.output_conv:
             agg = nn.Dense(self.out_fdim, use_bias=True, dtype=self.dtype,
                            name="output_conv")(agg)
-            agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "out_bn")(agg))
+            agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "out_bn", model_dtype=self.dtype)(agg))
         return agg
 
 
@@ -201,11 +204,11 @@ class AdaptiveWeightAgg(nn.Module):
         agg = (w[..., None] * fm).reshape(b, m, k, fdim)
         agg = _reduce(agg, valid, self.reduction)
 
-        agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "pool_bn")(agg))
+        agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "pool_bn", model_dtype=self.dtype)(agg))
         if fdim != self.out_fdim or self.output_conv:
             agg = nn.Dense(self.out_fdim, use_bias=True, dtype=self.dtype,
                            name="output_conv")(agg)
-            agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "out_bn")(agg))
+            agg = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "out_bn", model_dtype=self.dtype)(agg))
         return agg
 
 
@@ -248,9 +251,9 @@ class PointWiseMLPAgg(nn.Module):
         mfdim = max(fdim // 2, 9)
         for i in range(self.fc_num - 1):
             s = nn.Dense(mfdim, dtype=self.dtype, name=f"fc_{i}")(s)
-            s = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, f"bn_{i}")(s))
+            s = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, f"bn_{i}", model_dtype=self.dtype)(s))
         s = nn.Dense(self.out_fdim, dtype=self.dtype, name=f"fc_{self.fc_num}")(s)
-        s = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, f"bn_{self.fc_num}")(s))
+        s = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, f"bn_{self.fc_num}", model_dtype=self.dtype)(s))
         s = s * valid[..., None].astype(s.dtype)
         if self.reduction == "max":
             # zeros from masked rows are fine post-relu (matches reference
@@ -341,11 +344,11 @@ class PseudoGridAgg(nn.Module):
         )
         out = jnp.sum(weighted * kernel_w[None, None], axis=2)  # [B,M,C]
 
-        out = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "bn")(out))
+        out = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "bn", model_dtype=self.dtype)(out))
         if fdim != self.out_fdim or self.output_conv:
             out = nn.Dense(self.out_fdim, use_bias=True, dtype=self.dtype,
                            name="output_conv")(out)
-            out = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "out_bn")(out))
+            out = nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "out_bn", model_dtype=self.dtype)(out))
         return out
 
 
@@ -366,7 +369,7 @@ class IdentityAgg(nn.Module):
             center = nn.Dense(self.out_fdim, dtype=self.dtype, name="output_conv")(
                 center
             )
-        return nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "bn")(center))
+        return nn.relu(_bn(train, self.bn_momentum, self.bn_eps, "bn", model_dtype=self.dtype)(center))
 
 
 AGGREGATORS = {

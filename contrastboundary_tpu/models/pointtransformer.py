@@ -256,7 +256,9 @@ class MultiHead(nn.Module):
                 from .blocks import make_bn
 
                 x = nn.Dense(d, dtype=self.dtype, name="cls_fc")(x)
-                x = make_bn(self.bn_mode, train, "cls_bn")(x)
+                x = make_bn(
+                    self.bn_mode, train, "cls_bn", model_dtype=self.dtype
+                )(x)
                 x = nn.relu(x)
             logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(x)
         return logits, tuple(latents), tuple(contrast_feats), tuple(stage_logits)

@@ -71,7 +71,14 @@ def build(arm: str):
     shape on 2026-08-20 — probe-passes/combined-fails class, PERF.md)."""
     if arm == "fast_stale":
         os.environ.setdefault("PT_ATTN", "off")
-    if arm in ("fast", "fast_stale"):
+    if arm == "fast_bnbf16":
+        # round-5 continuation: BN compute/output in the block dtype (bf16)
+        # — the measured −4.2 ms step knob (scripts/ab_bn_dtype.py). Train
+        # with it, eval under the plain 'fast' arm (BN f32): the seed-paired
+        # delta vs the existing fast cell isolates the training-dynamics
+        # effect of bf16 BN activations.
+        os.environ["BN_COMPUTE"] = "model"
+    if arm in ("fast", "fast_stale", "fast_bnbf16"):
         spec = PyramidSpec(
             k_contrast=(36, 24, 24, 24, 24), with_subscene=True,
             layout="sorted", sampler="strided",
